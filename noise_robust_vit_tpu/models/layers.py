@@ -1,0 +1,255 @@
+"""Shared flax.linen building blocks for the model zoo.
+
+These map the reference's per-model ``FeedForward`` / ``Attention`` /
+``Transformer`` trios (e.g. ref simple_vit.py:34-97, cait.py, deepvit.py) onto
+one parameterizable set of modules. TPU-first details:
+
+  * compute dtype is a module field (``dtype``), bf16 for the MXU in
+    production; params stay float32 (``param_dtype``);
+  * attention dispatches to the fused Pallas kernel via
+    ``ops.dot_product_attention``;
+  * attention-map introspection (the reference's hook-based Recorder,
+    ref recorder.py:12-61) is functional: under ``recording()`` the attention
+    module sows its weights into the 'intermediates' collection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import ops
+from ..utils import trunc_normal_init
+
+_REC = threading.local()
+
+
+@contextlib.contextmanager
+def recording():
+    """While active, ``Attention`` modules sow their attention weights into
+    the 'intermediates' collection (apply with ``mutable=['intermediates']``).
+    Functional replacement for the reference's forward hooks
+    (ref recorder.py:12-61, extractor.py:18-90)."""
+    prev = getattr(_REC, "on", False)
+    _REC.on = True
+    try:
+        yield
+    finally:
+        _REC.on = prev
+
+
+def is_recording() -> bool:
+    return getattr(_REC, "on", False)
+
+
+class FeedForward(nn.Module):
+    """LayerNorm → Dense → GELU → Dense (+dropout) (ref simple_vit.py:34-45)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    pre_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.pre_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional Sinkhorn ("robust")
+    normalization (ref simple_vit.py:48-76; robust branch :56-59).
+
+    ``robust=True`` replaces the row softmax with softmax + 3 alternating
+    row/column renormalizations + a final row normalization
+    (ref utils.py:1025-1037)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    robust: bool = False
+    qkv_bias: bool = False
+    out_bias: bool = False
+    pre_norm: bool = True
+    sinkhorn_iters: int = 3
+    final_row_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, context=None, mask=None, deterministic: bool = True):
+        inner = self.heads * self.dim_head
+        if self.pre_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        context = x if context is None else context
+
+        b, n = x.shape[0], x.shape[1]
+        m = context.shape[1]
+        if context is x:
+            qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+            kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(context)
+            k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        if is_recording():
+            attn = ops.attention_weights(
+                q, k,
+                scale=self.dim_head**-0.5,
+                mask=mask,
+                robust=self.robust,
+                sinkhorn_iters=self.sinkhorn_iters,
+                final_row_norm=self.final_row_norm,
+            )
+            self.sow("intermediates", "attn", attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        else:
+            out = ops.dot_product_attention(
+                q, k, v,
+                scale=self.dim_head**-0.5,
+                mask=mask,
+                robust=self.robust,
+                sinkhorn_iters=self.sinkhorn_iters,
+                final_row_norm=self.final_row_norm,
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = nn.Dense(self.dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class Transformer(nn.Module):
+    """Pre-norm residual stack of (Attention, FeedForward) pairs
+    (ref simple_vit.py:79-97)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    robust: bool = False
+    final_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i in range(self.depth):
+            x = Attention(
+                self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                robust=self.robust,
+                dtype=self.dtype,
+                name=f"layers_{i}_attn",
+            )(x, deterministic=deterministic) + x
+            x = FeedForward(
+                self.dim,
+                self.mlp_dim,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"layers_{i}_ff",
+            )(x, deterministic=deterministic) + x
+            self.sow("intermediates", "block_out", x)
+        if self.final_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Fused patchify + linear embedding (ref simple_vit.py:126-131:
+    ``Rearrange('b c (h p1) (w p2) -> b h w (p1 p2 c)')`` + Linear).
+
+    Input is NHWC (TPU-native layout). The rearrange+matmul pair is exactly
+    what XLA fuses into a single strided GEMM on the MXU. Feature order of the
+    flattened patch is (p1, p2, c), matching the reference so ported weights
+    line up."""
+
+    dim: int
+    patch_size: tuple[int, int]
+    bias: bool = True
+    flatten: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ph, pw = self.patch_size
+        gh, gw = h // ph, w // pw
+        x = x.reshape(b, gh, ph, gw, pw, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh, gw, ph * pw * c)
+        x = nn.Dense(self.dim, use_bias=self.bias, dtype=self.dtype, name="proj")(x)
+        if self.flatten:
+            x = x.reshape(b, gh * gw, self.dim)
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth module (ref utils.py:1100-1112)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        return ops.drop_path(x, self.rate, self.make_rng("dropout"))
+
+
+class LayerScale(nn.Module):
+    """Learned per-channel residual scaling γ·x (ref cait.py:36,
+    patch_convnet.py:211-212)."""
+
+    dim: int
+    init_value: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class SqueezeExcite(nn.Module):
+    """Squeeze-and-Excitation over NHWC feature maps (ref utils.py:1148-1184)."""
+
+    channels: int
+    rd_ratio: float = 1.0 / 16
+    rd_divisor: int = 8
+    gate: Callable = jax.nn.sigmoid
+    act: Callable = jax.nn.relu
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        rd = int(self.channels * self.rd_ratio)
+        rd = max(self.rd_divisor, (rd + self.rd_divisor // 2) // self.rd_divisor * self.rd_divisor)
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(rd, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(s)
+        s = self.act(s)
+        s = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="fc2")(s)
+        return x * self.gate(s)
+
+
+def posemb_init(std: float = 0.02):
+    return trunc_normal_init(std=std)

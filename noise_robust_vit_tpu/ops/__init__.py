@@ -1,0 +1,37 @@
+"""L0 compute ops for the TPU-native noise-robust ViT framework.
+
+Pure-JAX reference implementations with Pallas fast paths; maps the
+reference's ops layer (ref vit_pytorch_robust/utils.py — SURVEY.md §2.1)."""
+
+from .attention import (
+    attention_weights,
+    dot_product_attention,
+    set_use_pallas,
+    use_pallas_default,
+)
+from .posemb import (
+    posemb_sincos_1d,
+    posemb_sincos_2d,
+    posemb_sincos_3d,
+    resize_posemb_grid,
+)
+from .regularizers import cutmix, drop_path, patch_dropout_indices, rand_bbox
+from .sinkhorn import robust_softmax, sinkhorn_attention, sinkhorn_normalize
+
+__all__ = [
+    "attention_weights",
+    "dot_product_attention",
+    "set_use_pallas",
+    "use_pallas_default",
+    "posemb_sincos_1d",
+    "posemb_sincos_2d",
+    "posemb_sincos_3d",
+    "resize_posemb_grid",
+    "cutmix",
+    "drop_path",
+    "patch_dropout_indices",
+    "rand_bbox",
+    "robust_softmax",
+    "sinkhorn_attention",
+    "sinkhorn_normalize",
+]

@@ -1,0 +1,136 @@
+"""Multi-head attention compute ops (pure-JAX path + Pallas dispatch).
+
+This is the L0 attention surface every model in the zoo builds on
+(ref vit_pytorch_robust/utils.py:207-232 ``_scaled_dot_product_attention`` and
+the per-model inline attentions, e.g. simple_vit.py:64-76). Two normalization
+modes:
+
+  * ``robust=False`` — plain row softmax.
+  * ``robust=True``  — softmax + Sinkhorn doubly-stochastic renormalization.
+
+Design: the hot path is expressed as a single function over ``[B, H, N, D]``
+tensors so XLA maps both GEMMs onto the MXU and fuses the normalizations; when
+running on TPU with supported shapes the fused Pallas kernel
+(`ops/pallas/sinkhorn_attention.py`) is used instead, which keeps the N×N
+attention matrix in VMEM and never round-trips it through HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .sinkhorn import sinkhorn_normalize
+
+__all__ = [
+    "dot_product_attention",
+    "attention_weights",
+    "set_use_pallas",
+    "use_pallas_default",
+]
+
+_USE_PALLAS: bool | None = None  # None = auto (TPU only)
+
+
+def set_use_pallas(value: bool | None) -> None:
+    """Force (True/False) or restore auto (None) Pallas kernel dispatch."""
+    global _USE_PALLAS
+    _USE_PALLAS = value
+
+
+def use_pallas_default() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing never fails in practice
+        return False
+
+
+def attention_weights(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    scale: float | None = None,
+    bias: jax.Array | None = None,
+    mask: jax.Array | None = None,
+    robust: bool = False,
+    sinkhorn_iters: int = 3,
+    final_row_norm: bool = True,
+) -> jax.Array:
+    """Normalized attention weights ``[..., N, M]`` from q ``[..., N, D]``, k ``[..., M, D]``.
+
+    ``bias`` is added to the logits (relative position bias etc.); ``mask`` is
+    boolean (True = attend) and is applied as a large negative fill before the
+    softmax (ref utils.py:215-216) and re-applied as a hard zero afterwards so
+    masked entries cannot leak mass into Sinkhorn's column sums.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "...nd,...md->...nm", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    attn = jax.nn.softmax(logits, axis=-1)
+    if robust:
+        if mask is not None:
+            attn = jnp.where(mask, attn, 0.0)
+        attn = sinkhorn_normalize(
+            attn, num_iters=sinkhorn_iters, final_row_norm=final_row_norm, eps=1e-24
+        )
+    return attn
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    bias: jax.Array | None = None,
+    mask: jax.Array | None = None,
+    robust: bool = False,
+    sinkhorn_iters: int = 3,
+    final_row_norm: bool = True,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Full attention: ``softmax(qk^T * scale [+bias][mask])`` (optionally
+    Sinkhorn-renormalized) ``@ v``. Shapes ``[B, H, N, D]`` (or any leading
+    batch dims). Returns the same dtype as ``v``.
+    """
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    if use_pallas:
+        from .pallas import sinkhorn_attention as _pk
+
+        out = _pk.fused_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            bias=bias,
+            mask=mask,
+            robust=robust,
+            sinkhorn_iters=sinkhorn_iters,
+            final_row_norm=final_row_norm,
+        )
+        if out is not None:  # kernel supports these shapes
+            return out
+    attn = attention_weights(
+        q,
+        k,
+        scale=scale,
+        bias=bias,
+        mask=mask,
+        robust=robust,
+        sinkhorn_iters=sinkhorn_iters,
+        final_row_norm=final_row_norm,
+    )
+    return jnp.einsum(
+        "...nm,...md->...nd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)

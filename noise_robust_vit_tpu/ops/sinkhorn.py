@@ -1,0 +1,97 @@
+"""Sinkhorn (doubly-stochastic) attention normalization — the core "robust" op.
+
+The reference implements this twice with slightly different iteration schedules
+(ref: vit_pytorch_robust/utils.py:1025-1037 ``SinkhornAttention`` — softmax then
+3 alternating row/col renormalizations plus a final row normalization; and
+utils.py:218-224 — softmax then 4 alternating row/col renormalizations with no
+final row pass). Both variants are exposed here, parameterized.
+
+TPU notes: the column normalization (sum over the second-to-last axis) breaks
+flash attention's streaming-softmax invariant, so the fused kernel
+(`ops/pallas/sinkhorn_attention.py`) materializes the full attention matrix
+per (batch, head) block in VMEM — fine for the sequence lengths the reference
+uses (N <= ~3k globally, N <= 256 per window for hierarchical models).
+This file is the pure-JAX reference implementation; XLA fuses the row/col
+reductions into a handful of VPU passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sinkhorn_normalize",
+    "sinkhorn_attention",
+    "robust_softmax",
+]
+
+
+def sinkhorn_normalize(
+    attn: jax.Array,
+    num_iters: int = 3,
+    final_row_norm: bool = True,
+    eps: float = 0.0,
+) -> jax.Array:
+    """Alternating row/column renormalization of a non-negative matrix.
+
+    Row axis is ``-2`` (queries), column axis is ``-1`` (keys): a "row
+    normalization" divides by the sum over the last axis so each query's
+    attention distribution sums to 1; a "column normalization" divides by the
+    sum over ``-2`` so each key's received mass sums to 1.
+
+    Args:
+      attn: non-negative attention weights ``[..., N, M]`` (e.g. post-softmax).
+      num_iters: number of (row, col) iteration pairs.
+      final_row_norm: apply one extra row normalization at the end (the
+        ``SinkhornAttention`` schedule; the vendored-MHA schedule omits it).
+      eps: optional denominator guard; 0.0 matches the reference exactly.
+
+    Returns:
+      Approximately doubly-stochastic weights, same shape/dtype as ``attn``.
+    """
+
+    def _div(x, axis):
+        s = jnp.sum(x, axis=axis, keepdims=True)
+        if eps:
+            s = s + eps
+        return x / s
+
+    for _ in range(num_iters):
+        attn = _div(attn, -1)
+        attn = _div(attn, -2)
+    if final_row_norm:
+        attn = _div(attn, -1)
+    return attn
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "num_iters", "final_row_norm"))
+def sinkhorn_attention(
+    logits: jax.Array,
+    axis: int = -1,
+    num_iters: int = 3,
+    final_row_norm: bool = True,
+) -> jax.Array:
+    """softmax followed by Sinkhorn renormalization (ref utils.py:1025-1037).
+
+    Computed in float32 regardless of input dtype (softmax + repeated division
+    are precision-sensitive); cast back to the input dtype at the end.
+    """
+    dtype = logits.dtype
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
+    attn = sinkhorn_normalize(attn, num_iters=num_iters, final_row_norm=final_row_norm)
+    return attn.astype(dtype)
+
+
+def robust_softmax(logits: jax.Array, robust: bool = False, axis: int = -1) -> jax.Array:
+    """Plain softmax, or the Sinkhorn-normalized variant when ``robust``.
+
+    This is the schedule used inline by the robustified models
+    (ref swin.py:239-244, levit.py:271-278, cait.py:89-92,
+    simple_vit.py:56-59): 3 iterations + final row normalization.
+    """
+    if not robust:
+        return jax.nn.softmax(logits, axis=axis)
+    return sinkhorn_attention(logits, axis=axis, num_iters=3, final_row_norm=True)

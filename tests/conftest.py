@@ -1,0 +1,19 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding paths
+are exercised without TPU hardware (SURVEY.md §4(d)). Must run before jax
+import anywhere in the test process."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)
