@@ -80,7 +80,7 @@ def attention_weights(
         if mask is not None:
             attn = jnp.where(mask, attn, 0.0)
         attn = sinkhorn_normalize(
-            attn, num_iters=sinkhorn_iters, final_row_norm=final_row_norm, eps=1e-24
+            attn, num_iters=sinkhorn_iters, final_row_norm=final_row_norm
         )
     return attn
 

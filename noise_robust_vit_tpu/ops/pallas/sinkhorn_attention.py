@@ -15,8 +15,9 @@ any two-pass blockwise scheme.
 
 Sequence/head-dim are padded to hardware tiles inside the wrapper; padded
 rows/columns are masked to zero after the softmax so they contribute nothing
-to Sinkhorn's row/column sums. A tiny epsilon guards the padded-lane
-divisions (0/eps = 0); it is 2^-80, far below f32 resolution of the real sums.
+to Sinkhorn's row/column sums, and all-zero padded rows/columns divide by a
+`where`-guarded denominator (sum==0 → 1) so valid entries see the exact
+reference arithmetic with no epsilon perturbation.
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_attention"]
 
 _LANE = 128
-_EPS = 2.0**-80
 # VMEM budget: scores f32 (Np*Np*4) dominates; cap Np so scores+io < ~12MB.
 _MAX_N_PAD = 1536
 _MAX_D_PAD = 256
@@ -64,11 +64,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row):
         attn = jnp.where((row < n) & (col < n), attn, 0.0)
 
     if robust:
+
+        def _div(a, axis):
+            s = jnp.sum(a, axis=axis, keepdims=True)
+            if needs_mask:
+                s = jnp.where(s == 0.0, 1.0, s)
+            return a / s
+
         for _ in range(iters):
-            attn = attn / (jnp.sum(attn, axis=-1, keepdims=True) + _EPS)
-            attn = attn / (jnp.sum(attn, axis=-2, keepdims=True) + _EPS)
+            attn = _div(attn, -1)
+            attn = _div(attn, -2)
         if final_row:
-            attn = attn / (jnp.sum(attn, axis=-1, keepdims=True) + _EPS)
+            attn = _div(attn, -1)
 
     o_ref[0] = jax.lax.dot_general(
         attn.astype(v_ref.dtype), v_ref[0],

@@ -47,7 +47,10 @@ def sinkhorn_normalize(
       num_iters: number of (row, col) iteration pairs.
       final_row_norm: apply one extra row normalization at the end (the
         ``SinkhornAttention`` schedule; the vendored-MHA schedule omits it).
-      eps: optional denominator guard; 0.0 matches the reference exactly.
+      eps: optional denominator epsilon. With the default 0.0 an all-zero
+        row/column (fully-masked) divides by a ``where``-guarded denominator
+        (0 → 1, so zeros stay zeros) and every live entry sees the exact
+        reference arithmetic.
 
     Returns:
       Approximately doubly-stochastic weights, same shape/dtype as ``attn``.
@@ -57,6 +60,8 @@ def sinkhorn_normalize(
         s = jnp.sum(x, axis=axis, keepdims=True)
         if eps:
             s = s + eps
+        else:
+            s = jnp.where(s == 0.0, jnp.ones_like(s), s)
         return x / s
 
     for _ in range(num_iters):
