@@ -1,0 +1,100 @@
+"""Headline benchmark: ViT-B/16 @224 training throughput (images/sec/chip).
+
+Runs the full jitted train step (fwd + bwd + AdamW) of SimpleViT-B/16 in
+bfloat16 on the available accelerator and prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec, "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is measured throughput / the BASELINE.json north-star target
+(50% MFU on TPU v5e: 0.5 × 197 bf16-TFLOP/s ÷ analytic train FLOPs/image).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from noise_robust_vit_tpu.models.factory import create_model
+
+PEAK_FLOPS_V5E = 197e12  # bf16 peak per v5e chip
+TARGET_MFU = 0.5
+
+
+def vit_train_flops_per_image(
+    image=224, patch=16, dim=768, depth=12, heads=12, mlp=3072, classes=1000
+):
+    n = (image // patch) ** 2
+    per_block = (
+        2 * n * dim * (3 * dim)      # qkv proj
+        + 2 * n * n * dim            # q@k^T
+        + 2 * n * n * dim            # attn@v
+        + 2 * n * dim * dim          # out proj
+        + 2 * n * dim * mlp * 2      # mlp fc1+fc2
+    )
+    fwd = n * 2 * (patch * patch * 3) * dim + depth * per_block + 2 * dim * classes
+    return 3 * fwd  # bwd ≈ 2× fwd
+
+
+def main():
+    batch = 256
+    model = create_model(
+        "simple_vit_b16", num_classes=1000, image_size=224,
+        robust=False, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.bfloat16)
+    y = jax.random.randint(rng, (batch,), 0, 1000)
+    params = model.init(rng, x[:2])
+    tx = optax.adamw(1e-3, weight_decay=0.05)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # warmup / compile. NOTE: sync via scalar device_get — on the axon
+    # tunnel backend block_until_ready returns before execution finishes.
+    params, opt_state, loss = train_step(params, opt_state, x, y)
+    float(jax.device_get(loss))
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, x, y)
+    float(jax.device_get(loss))
+    dt = time.perf_counter() - t0
+
+    n_dev = jax.device_count()
+    imgs_per_sec_per_chip = batch * steps / dt / n_dev
+    flops = vit_train_flops_per_image()
+    target = TARGET_MFU * PEAK_FLOPS_V5E / flops
+    mfu = imgs_per_sec_per_chip * flops / PEAK_FLOPS_V5E
+    print(
+        json.dumps(
+            {
+                "metric": "vit_b16_224_train_images_per_sec_per_chip",
+                "value": round(imgs_per_sec_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec_per_chip / target, 4),
+                "mfu": round(mfu, 4),
+                "batch": batch,
+                "loss": float(jax.device_get(loss)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,9 +6,18 @@ training runtime over a `jax.sharding.Mesh`, and the noise-robustness
 experiment harness. See SURVEY.md for the blueprint.
 """
 
-from . import models, ops, utils
+from . import datasets, models, ops, parallel, train, utils
 from .models import SimpleViT
 
 __version__ = "0.1.0"
 
-__all__ = ["models", "ops", "utils", "SimpleViT", "__version__"]
+__all__ = [
+    "datasets",
+    "models",
+    "ops",
+    "parallel",
+    "train",
+    "utils",
+    "SimpleViT",
+    "__version__",
+]

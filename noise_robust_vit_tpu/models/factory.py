@@ -1,0 +1,91 @@
+"""Architecture registry: name → constructor.
+
+Plays the role of the reference's per-script arch switches
+(ref examples/CIFAR100.py:66-88: levit / S60 / swin_t with a ``robust`` flag)
+and ``torchvision.models.__dict__[arch]()`` lookups (ref baseline.py:60-64).
+Grows as the zoo widens; every entry accepts
+``(num_classes, image_size, robust, dtype)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+_REGISTRY: dict[str, Callable] = {}
+
+__all__ = ["register_model", "create_model", "list_models"]
+
+
+def register_model(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def create_model(
+    name: str,
+    *,
+    num_classes: int,
+    image_size: int = 224,
+    robust: bool = False,
+    dtype: Any = jnp.float32,
+    **kwargs,
+):
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown architecture {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](
+        num_classes=num_classes,
+        image_size=image_size,
+        robust=robust,
+        dtype=dtype,
+        **kwargs,
+    )
+
+
+def list_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _register_builtins():
+    from .simple_vit import SimpleViT
+
+    @register_model("simple_vit")
+    def _simple_vit(num_classes, image_size, robust, dtype, **kw):
+        """The CPU-runnable baseline config of BASELINE.json (depth-6/dim-512/
+        patch-4 @32px) scaled by image size."""
+        patch = kw.pop("patch_size", 4 if image_size <= 64 else 16)
+        return SimpleViT(
+            image_size=image_size,
+            patch_size=patch,
+            num_classes=num_classes,
+            dim=kw.pop("dim", 512),
+            depth=kw.pop("depth", 6),
+            heads=kw.pop("heads", 8),
+            mlp_dim=kw.pop("mlp_dim", 1024),
+            robust=robust,
+            dtype=dtype,
+            **kw,
+        )
+
+    @register_model("simple_vit_b16")
+    def _simple_vit_b16(num_classes, image_size, robust, dtype, **kw):
+        """SimpleViT-B/16 — the flagship throughput config (BASELINE.json)."""
+        return SimpleViT(
+            image_size=image_size,
+            patch_size=16,
+            num_classes=num_classes,
+            dim=768,
+            depth=12,
+            heads=12,
+            mlp_dim=3072,
+            robust=robust,
+            dtype=dtype,
+            **kw,
+        )
+
+
+_register_builtins()

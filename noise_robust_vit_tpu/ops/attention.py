@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .sinkhorn import sinkhorn_normalize
+from .sinkhorn import sinkhorn_normalize, sinkhorn_scalings
 
 __all__ = [
     "dot_product_attention",
@@ -103,7 +103,10 @@ def dot_product_attention(
     batch dims). Returns the same dtype as ``v``.
     """
     if use_pallas is None:
-        use_pallas = use_pallas_default()
+        # the fused kernel pays off where XLA can't stream: the Sinkhorn
+        # path (multiple passes over the N×N matrix); plain softmax
+        # attention is left to XLA's own fusion.
+        use_pallas = robust and use_pallas_default()
     if use_pallas:
         from .pallas import sinkhorn_attention as _pk
 
@@ -120,16 +123,30 @@ def dot_product_attention(
         )
         if out is not None:  # kernel supports these shapes
             return out
-    attn = attention_weights(
-        q,
-        k,
-        scale=scale,
-        bias=bias,
-        mask=mask,
-        robust=robust,
-        sinkhorn_iters=sinkhorn_iters,
-        final_row_norm=final_row_norm,
-    )
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "...nd,...md->...nm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    attn = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        attn = jnp.where(mask, attn, 0.0)
+    if robust:
+        # vector-form Sinkhorn: out = a ⊙ (A0 @ (b ⊙ v)) — the N×N matrix
+        # is read once per matvec instead of rewritten per iteration.
+        a, b = sinkhorn_scalings(
+            attn, num_iters=sinkhorn_iters, final_row_norm=final_row_norm
+        )
+        v = v * b[..., :, None].astype(v.dtype)
+        out = jnp.einsum(
+            "...nm,...md->...nd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return (out * a[..., :, None]).astype(v.dtype)
     return jnp.einsum(
         "...nm,...md->...nd", attn.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

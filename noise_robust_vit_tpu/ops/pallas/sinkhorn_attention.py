@@ -42,46 +42,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    n_pad = q.shape[0]
-
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-
-    needs_mask = n != n_pad
-    if needs_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-        s = jnp.where(col < n, s, -1e9)
-
-    attn = jax.nn.softmax(s, axis=-1)
-
-    if needs_mask:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
-        attn = jnp.where((row < n) & (col < n), attn, 0.0)
-
-    if robust:
-
-        def _div(a, axis):
-            s = jnp.sum(a, axis=axis, keepdims=True)
-            if needs_mask:
-                s = jnp.where(s == 0.0, 1.0, s)
-            return a / s
-
-        for _ in range(iters):
-            attn = _div(attn, -1)
-            attn = _div(attn, -2)
-        if final_row:
-            attn = _div(attn, -1)
-
-    o_ref[0] = jax.lax.dot_general(
-        attn.astype(v_ref.dtype), v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    # Vector-form Sinkhorn (see ops/sinkhorn.py::sinkhorn_scalings): the
+    # post-softmax matrix is only ever rescaled as diag(a)·attn·diag(b), so
+    # the kernel iterates scaling vectors and folds them into the output —
+    # the N×N matrix stays put in VMEM and is read, never rewritten.
+    out = _single_head_math(
+        q_ref[0], k_ref[0], v_ref[0],
+        scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -98,14 +67,15 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
     k = k.reshape(bh, n, d)
     v = v.reshape(bh, n, dv)
 
+    # pad sequence to lanes; head dim stays unpadded (contraction dim of the
+    # first GEMM / output lanes of the second — Mosaic tiles it natively)
     n_pad = _round_up(n, _LANE)
-    d_pad = _round_up(d, _LANE)
-    dv_pad = _round_up(dv, _LANE)
-    if n_pad != n or d_pad != d:
-        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
-        k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
-    if n_pad != n or dv_pad != dv:
-        v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, dv_pad - dv)))
+    d_pad = d
+    dv_pad = dv
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
 
     kernel = functools.partial(
         _kernel,
@@ -115,7 +85,7 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
         iters=sinkhorn_iters,
         final_row=final_row_norm,
     )
-    flops_norm = n_pad * n_pad * (4 + (6 * sinkhorn_iters if robust else 0))
+    flops_norm = n_pad * n_pad * (4 + (4 * sinkhorn_iters if robust else 0))
     out = pl.pallas_call(
         kernel,
         grid=(bh,),
@@ -138,6 +108,153 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
     return out.reshape(*batch, n, dv)
 
 
+def _reference_attention(q, k, v, scale, robust, iters, final_row):
+    """Pure-JAX math identical to the kernel (used for the backward pass)."""
+    from ..sinkhorn import sinkhorn_scalings
+
+    logits = jnp.einsum(
+        "...nd,...md->...nm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    if robust:
+        a, b = sinkhorn_scalings(attn, num_iters=iters, final_row_norm=final_row)
+        v = v * b[..., :, None].astype(v.dtype)
+        out = jnp.einsum(
+            "...nm,...md->...nd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return (out * a[..., :, None]).astype(v.dtype)
+    return jnp.einsum(
+        "...nm,...md->...nd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
+    """Per-(batch,head) attention math in f32, shared by the forward kernel
+    and the backward kernel (which differentiates it via jax.vjp *inside* the
+    kernel body — the vjp traces to plain dots/reductions Mosaic lowers)."""
+    n_pad = q.shape[0]
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    needs_mask = n != n_pad
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        s = jnp.where(col < n, s, -1e9)
+    attn = jax.nn.softmax(s, axis=-1)
+    if needs_mask:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        attn = jnp.where((row < n) & (col < n), attn, 0.0)
+
+    vf = v.astype(jnp.float32)
+    if robust:
+        def _recip(x):
+            if not needs_mask:
+                return 1.0 / x
+            # double-where keeps the vjp NaN-free at masked (x==0) entries
+            safe = jnp.where(x == 0.0, 1.0, x)
+            return jnp.where(x == 0.0, 1.0, 1.0 / safe)
+
+        b = jnp.ones((1, n_pad), jnp.float32)
+        a = jnp.ones((n_pad, 1), jnp.float32)
+        for _ in range(iters):
+            a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+            b = _recip(jnp.sum(attn * a, axis=-2, keepdims=True))
+        if final_row:
+            a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+        vf = vf * b.reshape(n_pad, 1)
+
+    out = jax.lax.dot_general(
+        attn, vf,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if robust:
+        out = out * a
+    return out
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, n,
+                robust, iters, final_row):
+    f = functools.partial(
+        _single_head_math, scale=scale, n=n, robust=robust, iters=iters,
+        final_row=final_row,
+    )
+    _, vjp = jax.vjp(f, q_ref[0], k_ref[0], v_ref[0])
+    dq, dk, dv = vjp(g_ref[0].astype(jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "robust", "sinkhorn_iters", "final_row_norm")
+)
+def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters, final_row_norm):
+    *batch, n, d = q.shape
+    bh = 1
+    for bdim in batch:
+        bh *= bdim
+    q, k, v, g = (t.reshape(bh, n, -1) for t in (q, k, v, g))
+    n_pad = _round_up(n, _LANE)
+    if n_pad != n:
+        q, k, v, g = (
+            jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0))) for t in (q, k, v, g)
+        )
+    dv_dim = v.shape[-1]
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, n=n, robust=robust, iters=sinkhorn_iters,
+        final_row=final_row_norm,
+    )
+    spec_d = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_dv = pl.BlockSpec((1, n_pad, dv_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[spec_d, spec_d, spec_dv, spec_dv],
+        out_specs=(spec_d, spec_d, spec_dv),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, dv_dim), v.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=bh * 10 * n_pad * n_pad * d,
+            bytes_accessed=bh * n_pad * (4 * d + 4 * dv_dim) * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        ),
+    )(q, k, v, g)
+    dq, dk, dv = (t[:, :n, :] for t in (dq, dk, dv))
+    return (
+        dq.reshape(*batch, n, d),
+        dk.reshape(*batch, n, d),
+        dv.reshape(*batch, n, dv_dim),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attention_op(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
+    return _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm)
+
+
+def _attention_fwd(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
+    out = _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm)
+    return out, (q, k, v)
+
+
+def _attention_bwd(scale, robust, sinkhorn_iters, final_row_norm, res, g):
+    q, k, v = res
+    return _fused_attention_bwd_impl(
+        q, k, v, g, scale, robust, sinkhorn_iters, final_row_norm
+    )
+
+
+_attention_op.defvjp(_attention_fwd, _attention_bwd)
+
+
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
@@ -157,12 +274,10 @@ def fused_attention(
     if q.ndim < 2 or q.shape[-2] != k.shape[-2] or q.shape != k.shape:
         return None  # self-attention with equal q/k lengths only
     n, d = q.shape[-2], q.shape[-1]
-    if _round_up(n, _LANE) > _MAX_N_PAD or _round_up(d, _LANE) > _MAX_D_PAD:
-        return None
-    if _round_up(v.shape[-1], _LANE) > _MAX_D_PAD:
+    if _round_up(n, _LANE) > _MAX_N_PAD or d > _MAX_D_PAD or v.shape[-1] > _MAX_D_PAD:
         return None
     if scale is None:
         scale = d**-0.5
-    return _fused_attention_impl(
+    return _attention_op(
         q, k, v, float(scale), bool(robust), int(sinkhorn_iters), bool(final_row_norm)
     )

@@ -1,0 +1,24 @@
+"""Device-mesh parallelism (replaces the reference's NCCL/DDP stack).
+
+The reference scales only by data parallelism — DDP gradient all-reduce,
+SyncBatchNorm, all_gather of eval features (SURVEY.md §2.5). Here that maps
+onto a `jax.sharding.Mesh`: batches are sharded over the ``data`` axis,
+parameters replicated (or sharded over ``model`` for tensor parallelism the
+reference never had), and XLA inserts the ICI collectives.
+"""
+
+from .mesh import (
+    batch_sharding,
+    local_mesh,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "local_mesh",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,62 @@
+"""Checkpoint save/restore (Orbax) + load-time positional-embedding resize.
+
+Replaces the reference's torch ``final.ckpt`` `{"model": state_dict}` flow
+with DDP ``module.`` prefix stripping (ref evaluation.py:136-139) by flat
+pytree checkpoints — no prefix surgery needed. The pos-embed interpolation of
+ref vit.py:522-603 happens on load via ``ops.resize_posemb_grid``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _ckpt_dir(folder: str | Path) -> Path:
+    return Path(folder).absolute() / "checkpoints"
+
+
+def save_checkpoint(folder: str | Path, state: Any, step: int) -> Path:
+    """Save a pytree checkpoint at ``<folder>/checkpoints/<step>``."""
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_dir(folder) / str(step)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def latest_step(folder: str | Path) -> int | None:
+    d = _ckpt_dir(folder)
+    if not d.exists():
+        return None
+    steps = [int(p.name) for p in d.iterdir() if p.name.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None) -> Any:
+    """Restore the checkpoint at ``step`` (default: latest) with the structure
+    and shardings of ``like``. Returns ``None`` if no checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_step(folder)
+        if step is None:
+            return None
+    path = _ckpt_dir(folder) / str(step)
+    abstract = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=abstract)
+    shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding if hasattr(x, "sharding") else None, like
+    )
+
+    def _place(x, s):
+        return jax.device_put(x, s) if s is not None else x
+
+    return jax.tree_util.tree_map(_place, restored, shardings)

@@ -1,0 +1,85 @@
+"""Config/flag system — argparse-compatible with the reference's omega flags.
+
+``make_config(parser)`` appends the standard trainer/infra flags that
+``omega.argparse.make_config`` injects in every experiment script
+(reconstructed from call sites, SURVEY.md §2.4: ref randomlabel.py:407-411,
+executor_SMALL_DATASETS.sh:23, CIFAR100.py:171-198). Run folders get a
+``hparams.json`` so sweeps can be aggregated by ``gather_runs``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+__all__ = ["make_config", "save_hparams", "find_version"]
+
+
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def make_config(parser: argparse.Namespace | argparse.ArgumentParser):
+    """Append standard flags and parse. Mirrors ``omega.argparse.make_config``.
+
+    Returns the parsed ``argparse.Namespace``; creates ``--folder`` (with an
+    auto-versioned subfolder when ``--add-version``) and records hparams.
+    """
+    g = parser.add_argument_group("trainer")
+    g.add_argument("--folder", type=Path, default=Path("./runs/default"))
+    g.add_argument("--add-version", action="store_true")
+    g.add_argument("--epochs", type=int, default=100)
+    g.add_argument("--batch-size", type=int, default=256)
+    g.add_argument("--learning-rate", type=float, default=5e-4)
+    g.add_argument("--weight-decay", type=float, default=0.05)
+    g.add_argument("--beta1", type=float, default=0.9)
+    g.add_argument("--beta2", type=float, default=0.999)
+    g.add_argument("--momentum", type=float, default=0.9)
+    g.add_argument("--grad-max-norm", type=float, default=None)
+    g.add_argument("--optimizer", type=str, default="adamw")
+    g.add_argument("--scheduler", type=str, default="warmup_cosine")
+    g.add_argument("--label-smoothing", type=float, default=0.0)
+    g.add_argument("--float16", type=_str2bool, default=False,
+                   help="bf16 compute on TPU (the reference's fp16 flag)")
+    g.add_argument("--sync-batchnorm", type=_str2bool, default=True,
+                   help="global-batch BN stats; free under jit DP")
+    g.add_argument("--eval-each-epoch", type=_str2bool, default=True)
+    g.add_argument("--checkpoint-frequency", type=int, default=0)
+    g.add_argument("--save-final-model", type=_str2bool, default=False)
+    g.add_argument("--architecture", type=str, default="simple_vit")
+    g.add_argument("--dataset-path", type=Path, default=None)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--num-workers", type=int, default=4)
+    # infra flags kept for CLI compatibility with the reference's SLURM sweeps
+    # (no-ops on a TPU pod slice; the launcher owns topology)
+    g.add_argument("--gpus-per-node", type=int, default=0)
+    g.add_argument("--num-nodes", type=int, default=1)
+    g.add_argument("--timeout-min", type=int, default=0)
+    g.add_argument("--slurm-partition", type=str, default="")
+    g.add_argument("--process-name", type=str, default="")
+    args = parser.parse_args()
+
+    if args.add_version:
+        args.folder = args.folder / find_version(args.folder)
+    args.folder.mkdir(parents=True, exist_ok=True)
+    save_hparams(args)
+    return args
+
+
+def find_version(folder: Path) -> str:
+    """Next unused ``versionN`` subfolder (the reference's --add-version)."""
+    i = 0
+    while (folder / f"version{i}").exists():
+        i += 1
+    return f"version{i}"
+
+
+def save_hparams(args) -> None:
+    payload = {
+        k: (str(v) if isinstance(v, Path) else v) for k, v in vars(args).items()
+    }
+    with open(args.folder / "hparams.json", "w") as f:
+        json.dump(payload, f, indent=2, default=str)

@@ -1,0 +1,263 @@
+"""Training-loop engine — TPU-native replacement for the external
+``omega.Trainer`` the reference's experiments subclass (SURVEY.md §2.4, §3.2).
+
+Hook protocol mirrors the reference call sites (ref examples/CIFAR100.py:16-166,
+sup_ssl.py:20-157): subclasses override ``initialize_train_loader/val_loader/
+modules/optimizer``, ``compute_loss``, ``eval_step`` and the before/after
+hooks; the engine owns the jitted step, the device mesh, checkpointing and
+JSON-lines logging.
+
+TPU design (vs the reference's DDP):
+  * one `jax.sharding.Mesh` over all chips; batches sharded on the ``data``
+    axis, params/optimizer state replicated — XLA inserts the gradient
+    all-reduce over ICI (no NCCL plumbing);
+  * ``compute_loss`` / ``eval_step`` are PURE functions of (params, state,
+    batch, rng) traced once under ``jit``; mutable collections (BN stats)
+    travel through explicitly;
+  * sync-BN semantics (ref --sync-batchnorm, CIFAR100.py:194) is automatic:
+    under jit the norm sees the global batch;
+  * checkpoint/resume via Orbax replaces submitit preemption requeue
+    (SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..parallel import batch_sharding, local_mesh, replicated
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .logging import RunLogger
+from .optim import make_optimizer
+
+__all__ = ["Trainer", "TrainState"]
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    model_state: Any  # mutable collections (batch_stats, ...)
+    step: jax.Array
+
+
+class Trainer:
+    """Subclass and override the hooks; then ``trainer()`` runs training."""
+
+    def __init__(self, args):
+        self.args = args
+        self.logger = RunLogger(args.folder)
+        self.epoch = 0
+        self.mesh = None
+        self.model = None
+        self.train_loader: Iterable | None = None
+        self.val_loader: Iterable | None = None
+        self._buffers: dict[str, Any] = {}
+        self.rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+
+    # ------------------------------------------------------------- hooks --
+    def initialize_train_loader(self) -> Iterable:
+        raise NotImplementedError
+
+    def initialize_val_loader(self) -> Iterable | None:
+        return None
+
+    def initialize_modules(self) -> None:
+        """Must set ``self.model`` (a flax Module) and may set extra modules."""
+        raise NotImplementedError
+
+    def initialize_optimizer(self, total_steps: int) -> optax.GradientTransformation:
+        return make_optimizer(self.args, total_steps)
+
+    def compute_loss(self, params, model_state, batch, rng):
+        """PURE. Return ``(loss, {"metrics": {...}, "model_state": new_state})``.
+
+        ``model_state`` holds mutable collections; return it (possibly
+        updated) under the ``"model_state"`` key, or omit to keep unchanged.
+        """
+        raise NotImplementedError
+
+    def eval_step(self, params, model_state, batch):
+        """PURE. Return a dict of per-batch metric SUMS plus a ``"count"``
+        entry; the engine divides at epoch end (matches the distributed
+        accuracy reduction of ref CIFAR100.py:148-163)."""
+        raise NotImplementedError
+
+    def before_train_epoch(self):
+        pass
+
+    def before_eval_epoch(self):
+        pass
+
+    def after_eval_epoch(self, metrics: dict):
+        self.log_txt("eval_accuracies", epoch=self.epoch, **metrics)
+
+    def after_train_step(self, metrics: dict):
+        pass
+
+    # ----------------------------------------------------------- plumbing --
+    def log_txt(self, name: str, **scalars):
+        self.logger.log_txt(name, **scalars)
+
+    def register_buffer(self, name: str, value):
+        self._buffers[name] = value
+        setattr(self, name, value)
+
+    def next_rng(self) -> jax.Array:
+        self.rng, key = jax.random.split(self.rng)
+        return key
+
+    # ------------------------------------------------------------- engine --
+    def init_state(self, sample_batch) -> TrainState:
+        """Initialize params/model-state from a sample batch and build the
+        optimizer. Override ``init_params`` for custom init."""
+        variables = self.init_params(sample_batch)
+        variables = dict(variables)
+        params = variables.pop("params")
+        model_state = FrozenDict(variables)
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            model_state=model_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def init_params(self, sample_batch):
+        return self.model.init(self.next_rng(), sample_batch["image"])
+
+    def _build_train_step(self):
+        tx = self.tx
+
+        def train_step(state: TrainState, batch, rng):
+            def loss_fn(params):
+                loss, out = self.compute_loss(params, state.model_state, batch, rng)
+                return loss, out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(out.get("metrics", {}))
+            metrics["loss"] = loss
+            new_model_state = out.get("model_state", state.model_state)
+            new_state = state.replace(
+                params=params,
+                opt_state=opt_state,
+                model_state=new_model_state,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        return jax.jit(
+            train_step,
+            in_shardings=(
+                self._state_shardings,
+                batch_sharding(self.mesh),
+                replicated(self.mesh),
+            ),
+            out_shardings=(self._state_shardings, replicated(self.mesh)),
+            donate_argnums=(0,),
+        )
+
+    def _build_eval_step(self):
+        def eval_step(state: TrainState, batch):
+            return self.eval_step(state.params, state.model_state, batch)
+
+        return jax.jit(
+            eval_step,
+            in_shardings=(self._state_shardings, batch_sharding(self.mesh)),
+            out_shardings=replicated(self.mesh),
+        )
+
+    def _shard_batch(self, batch):
+        sharding = batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        )
+
+    def setup(self):
+        """Build mesh, loaders, model, optimizer, state, jitted steps."""
+        if self.mesh is None:
+            self.mesh = local_mesh()
+        self.train_loader = self.initialize_train_loader()
+        self.val_loader = self.initialize_val_loader()
+        self.initialize_modules()
+        steps_per_epoch = len(self.train_loader)
+        total_steps = steps_per_epoch * self.args.epochs
+        self.tx = self.initialize_optimizer(total_steps)
+        sample = next(iter(self.train_loader))
+        self.state = self.init_state(sample)
+        # replicate the state over the mesh
+        rep = replicated(self.mesh)
+        self.state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), self.state
+        )
+        self._state_shardings = jax.tree_util.tree_map(lambda _: rep, self.state)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self._steps_per_epoch = steps_per_epoch
+        # resume (replaces submitit requeue, SURVEY.md §5)
+        restored = restore_checkpoint(self.args.folder, self.state)
+        if restored is not None:
+            self.state = restored
+            self.epoch = int(jax.device_get(self.state.step)) // steps_per_epoch
+            print(f"resumed from step {int(jax.device_get(self.state.step))}")
+
+    def run_eval(self) -> dict:
+        self.before_eval_epoch()
+        totals: dict[str, float] = {}
+        for batch in self.val_loader:
+            out = jax.device_get(self._eval_step(self.state, self._shard_batch(batch)))
+            for k, v in out.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        count = totals.pop("count", 1.0)
+        metrics = {k: v / count for k, v in totals.items()}
+        self.after_eval_epoch(metrics)
+        return metrics
+
+    def __call__(self):
+        self.setup()
+        args = self.args
+        for self.epoch in range(self.epoch, args.epochs):
+            self.before_train_epoch()
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(self.epoch)
+            t0 = time.perf_counter()
+            last_metrics = {}
+            for batch in self.train_loader:
+                step = int(jax.device_get(self.state.step))
+                key = jax.random.fold_in(self.rng, step)
+                self.state, metrics = self._train_step(
+                    self.state, self._shard_batch(batch), key
+                )
+                self.after_train_step(metrics)
+                last_metrics = metrics
+            dt = time.perf_counter() - t0
+            train_metrics = {
+                k: float(jax.device_get(v)) for k, v in last_metrics.items()
+            }
+            self.log_txt(
+                "train_log",
+                epoch=self.epoch,
+                seconds=dt,
+                **train_metrics,
+            )
+            if self.val_loader is not None and getattr(args, "eval_each_epoch", True):
+                self.run_eval()
+            freq = getattr(args, "checkpoint_frequency", 0)
+            if freq and (self.epoch + 1) % freq == 0:
+                save_checkpoint(
+                    args.folder, self.state, int(jax.device_get(self.state.step))
+                )
+        if getattr(args, "save_final_model", False):
+            save_checkpoint(
+                args.folder, self.state, int(jax.device_get(self.state.step))
+            )
+        return self.state

@@ -1,0 +1,189 @@
+"""Runtime tests: loaders, schedules, logging, checkpointing, and an
+end-to-end DP training run on the virtual 8-device mesh (SURVEY.md §4(d))."""
+
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from noise_robust_vit_tpu import datasets
+from noise_robust_vit_tpu.train import (
+    DataLoader,
+    RunLogger,
+    gather_runs,
+    warmup_cosine,
+)
+from noise_robust_vit_tpu.train.data import augment_batch
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+class TestDataLoader:
+    def test_epoch_determinism_and_shuffling(self):
+        ds = datasets.synthetic_dataset(64, 8, 10)
+        dl = DataLoader(ds, 16, seed=3)
+        b0 = [b["index"] for b in dl]
+        b0b = [b["index"] for b in dl]
+        for a, b in zip(b0, b0b):
+            np.testing.assert_array_equal(a, b)  # same epoch → same order
+        dl.set_epoch(1)
+        b1 = [b["index"] for b in dl]
+        assert any((a != b).any() for a, b in zip(b0, b1))
+
+    def test_drop_last_and_len(self):
+        ds = datasets.synthetic_dataset(70, 8, 10)
+        assert len(DataLoader(ds, 16)) == 4
+        assert len(DataLoader(ds, 16, drop_last=False)) == 5
+
+    def test_indices_subset(self):
+        ds = datasets.synthetic_dataset(64, 8, 10)
+        dl = DataLoader(ds, 8, indices=np.arange(16))
+        seen = np.concatenate([b["index"] for b in dl])
+        assert set(seen.tolist()) <= set(range(16))
+
+
+class TestAugment:
+    def test_eval_is_deterministic_normalize_only(self, rng):
+        imgs = np.random.default_rng(0).integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        a = augment_batch(rng, imgs, train=False)
+        b = augment_batch(jax.random.PRNGKey(9), imgs, train=False)
+        np.testing.assert_allclose(a, b)  # no randomness in eval
+
+    def test_noise_std(self, rng):
+        imgs = np.zeros((4, 16, 16, 3), dtype=np.uint8)
+        clean = augment_batch(rng, imgs, train=False, noise_std=0.0)
+        noisy = augment_batch(rng, imgs, train=False, noise_std=0.5)
+        resid = np.asarray(noisy - clean)
+        assert 0.3 < resid.std() < 0.7
+
+    @pytest.mark.parametrize("strength", [0, 1, 2, 3])
+    def test_strengths_run(self, rng, strength):
+        imgs = np.random.default_rng(0).integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        out = augment_batch(rng, imgs, strength=strength, train=True)
+        assert out.shape == imgs.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_warmup_cosine_shape():
+    sched = warmup_cosine(1.0, 100, warmup_frac=0.1, eta_min_factor=0.05)
+    assert float(sched(0)) == pytest.approx(1e-3, rel=1e-4)
+    assert float(sched(10)) == pytest.approx(1.0, rel=1e-2)
+    assert float(sched(100)) == pytest.approx(0.05, rel=1e-2)
+
+
+def test_logger_and_gather_runs(tmp_path):
+    lg = RunLogger(tmp_path / "run1")
+    lg.log_txt("eval_accuracies", epoch=0, accus=0.5)
+    lg.log_txt("eval_accuracies", epoch=1, accus=0.6)
+    import json
+
+    (tmp_path / "run1" / "hparams.json").write_text(json.dumps({"lr": 1e-3}))
+    runs = gather_runs(tmp_path)
+    assert len(runs) == 1
+    assert runs[0]["hparams"]["lr"] == 1e-3
+    assert [r["accus"] for r in runs[0]["eval_accuracies"]] == [0.5, 0.6]
+
+
+def _args(tmp_path, **kw):
+    base = dict(
+        folder=tmp_path,
+        epochs=2,
+        batch_size=32,
+        learning_rate=1e-3,
+        weight_decay=0.01,
+        beta1=0.9,
+        beta2=0.999,
+        grad_max_norm=5.0,
+        optimizer="adamw",
+        scheduler="warmup_cosine",
+        label_smoothing=0.1,
+        float16=False,
+        sync_batchnorm=True,
+        eval_each_epoch=True,
+        checkpoint_frequency=0,
+        save_final_model=False,
+        architecture="simple_vit",
+        dataset="synthetic",
+        dataset_path=None,
+        seed=0,
+        robust=True,
+        strength=1,
+        cutmix=True,
+        train_noise_std=0.0,
+        eval_noise_std=0.0,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+@pytest.mark.slow
+def test_end_to_end_training_dp(tmp_path):
+    """Full Trainer run: SimpleViT(robust) on synthetic data, 8-way DP mesh.
+    Checks loss decreases and eval/log/ckpt plumbing works."""
+    from classification import Model
+
+    args = _args(
+        tmp_path,
+        epochs=2,
+        save_final_model=True,
+        architecture="simple_vit",
+    )
+    # small model for CPU speed
+    from noise_robust_vit_tpu.models.factory import register_model
+    from noise_robust_vit_tpu.models import SimpleViT
+
+    @register_model("tiny_vit_test")
+    def _tiny(num_classes, image_size, robust, dtype, **kw):
+        return SimpleViT(
+            image_size=image_size, patch_size=8, num_classes=num_classes,
+            dim=32, depth=1, heads=2, mlp_dim=64, robust=robust, dtype=dtype,
+        )
+
+    args.architecture = "tiny_vit_test"
+    m = Model(args)
+    m()
+    logs = m.logger.read("train_log")
+    assert len(logs) == 2
+    assert logs[-1]["loss"] < logs[0]["loss"] + 0.5  # moves, doesn't blow up
+    evals = m.logger.read("eval_accuracies")
+    assert len(evals) == 2 and 0.0 <= evals[-1]["accus"] <= 1.0
+    # final checkpoint written and restorable
+    from noise_robust_vit_tpu.train import latest_step, restore_checkpoint
+
+    assert latest_step(tmp_path) is not None
+    restored = restore_checkpoint(tmp_path, m.state)
+    np.testing.assert_allclose(
+        jax.device_get(restored.step), jax.device_get(m.state.step)
+    )
+
+
+@pytest.mark.slow
+def test_resume_from_checkpoint(tmp_path):
+    from classification import Model
+
+    args = _args(tmp_path, epochs=1, checkpoint_frequency=1, architecture="tiny2")
+    from noise_robust_vit_tpu.models.factory import register_model
+    from noise_robust_vit_tpu.models import SimpleViT
+
+    @register_model("tiny2")
+    def _tiny2(num_classes, image_size, robust, dtype, **kw):
+        return SimpleViT(
+            image_size=image_size, patch_size=8, num_classes=num_classes,
+            dim=32, depth=1, heads=2, mlp_dim=64, robust=robust, dtype=dtype,
+        )
+
+    m1 = Model(args)
+    m1()
+    step1 = int(jax.device_get(m1.state.step))
+    # second trainer resumes and continues for one more epoch
+    args2 = _args(tmp_path, epochs=2, checkpoint_frequency=1, architecture="tiny2")
+    m2 = Model(args2)
+    m2()
+    assert int(jax.device_get(m2.state.step)) == 2 * step1
