@@ -1,5 +1,45 @@
 """Model zoo (maps the reference's vit_pytorch_robust/ — SURVEY.md §2.2)."""
 
+from .cait import CaiT
+from .deepvit import DeepViT
 from .simple_vit import SimpleViT
+from .swin import (
+    SwinTransformer,
+    swin_b,
+    swin_s,
+    swin_t,
+    swin_v2_b,
+    swin_v2_s,
+    swin_v2_t,
+)
+from .vision_transformer import (
+    VisionTransformer,
+    interpolate_embeddings,
+    vit_b_16,
+    vit_b_32,
+    vit_h_14,
+    vit_l_16,
+    vit_l_32,
+)
+from .vit import ViT
 
-__all__ = ["SimpleViT"]
+__all__ = [
+    "CaiT",
+    "DeepViT",
+    "SimpleViT",
+    "SwinTransformer",
+    "swin_b",
+    "swin_s",
+    "swin_t",
+    "swin_v2_b",
+    "swin_v2_s",
+    "swin_v2_t",
+    "VisionTransformer",
+    "interpolate_embeddings",
+    "vit_b_16",
+    "vit_b_32",
+    "vit_h_14",
+    "vit_l_16",
+    "vit_l_32",
+    "ViT",
+]

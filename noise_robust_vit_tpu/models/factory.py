@@ -51,7 +51,47 @@ def list_models() -> list[str]:
 
 
 def _register_builtins():
+    from . import swin as _swin
+    from . import vision_transformer as _vt
+    from .cait import CaiT
+    from .deepvit import DeepViT
     from .simple_vit import SimpleViT
+    from .vit import ViT
+
+    for name in ("swin_t", "swin_s", "swin_b", "swin_v2_t", "swin_v2_s", "swin_v2_b"):
+        _REGISTRY[name] = getattr(_swin, name)
+    for name in ("vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14"):
+        _REGISTRY[name] = getattr(_vt, name)
+
+    @register_model("vit")
+    def _vit(num_classes, image_size, robust, dtype, **kw):
+        patch = kw.pop("patch_size", 4 if image_size <= 64 else 16)
+        return ViT(
+            image_size=image_size, patch_size=patch, num_classes=num_classes,
+            dim=kw.pop("dim", 512), depth=kw.pop("depth", 6),
+            heads=kw.pop("heads", 8), mlp_dim=kw.pop("mlp_dim", 1024),
+            robust=robust, dtype=dtype, **kw,
+        )
+
+    @register_model("deepvit")
+    def _deepvit(num_classes, image_size, robust, dtype, **kw):
+        patch = kw.pop("patch_size", 4 if image_size <= 64 else 16)
+        return DeepViT(
+            image_size=image_size, patch_size=patch, num_classes=num_classes,
+            dim=kw.pop("dim", 512), depth=kw.pop("depth", 6),
+            heads=kw.pop("heads", 8), mlp_dim=kw.pop("mlp_dim", 1024),
+            robust=robust, dtype=dtype, **kw,
+        )
+
+    @register_model("cait")
+    def _cait(num_classes, image_size, robust, dtype, **kw):
+        patch = kw.pop("patch_size", 4 if image_size <= 64 else 16)
+        return CaiT(
+            image_size=image_size, patch_size=patch, num_classes=num_classes,
+            dim=kw.pop("dim", 512), depth=kw.pop("depth", 6),
+            cls_depth=kw.pop("cls_depth", 2), heads=kw.pop("heads", 8),
+            mlp_dim=kw.pop("mlp_dim", 1024), robust=robust, dtype=dtype, **kw,
+        )
 
     @register_model("simple_vit")
     def _simple_vit(num_classes, image_size, robust, dtype, **kw):

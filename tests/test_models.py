@@ -1,0 +1,168 @@
+"""Model-zoo tests: construct with reference signatures, forward a random
+batch, check logits shape + finiteness (the upstream vit-pytorch test.py
+pattern, SURVEY.md §4), plus model-specific invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from noise_robust_vit_tpu import models
+from noise_robust_vit_tpu.models.factory import create_model, list_models
+
+
+def _forward(model, rng, img_shape=(2, 32, 32, 3), train=False):
+    x = jax.random.normal(rng, img_shape)
+    variables = model.init({"params": rng, "dropout": rng}, x)
+    if train:
+        out = model.apply(
+            variables, x, deterministic=False, rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )[0]
+    else:
+        out = model.apply(variables, x)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+    return out
+
+
+class TestViT:
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_lucidrains_vit(self, rng, robust):
+        m = models.ViT(
+            image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
+            heads=4, mlp_dim=128, dropout=0.1, emb_dropout=0.1, robust=robust,
+        )
+        assert _forward(m, rng).shape == (2, 10)
+
+    def test_pool_mean(self, rng):
+        m = models.ViT(
+            image_size=32, patch_size=8, num_classes=10, dim=64, depth=1,
+            heads=2, mlp_dim=64, pool="mean",
+        )
+        assert _forward(m, rng).shape == (2, 10)
+
+    def test_train_mode_dropout(self, rng):
+        m = models.ViT(
+            image_size=32, patch_size=8, num_classes=10, dim=64, depth=1,
+            heads=2, mlp_dim=64, dropout=0.5,
+        )
+        assert _forward(m, rng, train=True).shape == (2, 10)
+
+
+class TestVisionTransformer:
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_forward(self, rng, robust):
+        m = models.VisionTransformer(
+            image_size=32, patch_size=8, num_layers=2, num_heads=4,
+            hidden_dim=64, mlp_dim=128, num_classes=10, robust=robust,
+        )
+        assert _forward(m, rng).shape == (2, 10)
+
+    def test_representation_head(self, rng):
+        m = models.VisionTransformer(
+            image_size=32, patch_size=8, num_layers=1, num_heads=2,
+            hidden_dim=64, mlp_dim=128, num_classes=10, representation_size=32,
+        )
+        assert _forward(m, rng).shape == (2, 10)
+
+    def test_conv_stem(self, rng):
+        from noise_robust_vit_tpu.models.vision_transformer import ConvStemConfig
+
+        m = models.VisionTransformer(
+            image_size=32, patch_size=8, num_layers=1, num_heads=2,
+            hidden_dim=64, mlp_dim=128, num_classes=10,
+            conv_stem_configs=[
+                ConvStemConfig(16, 4, 4), ConvStemConfig(64, 2, 2),
+            ],
+        )
+        assert _forward(m, rng, train=True).shape == (2, 10)
+
+    def test_zero_init_head(self, rng):
+        m = models.VisionTransformer(
+            image_size=32, patch_size=8, num_layers=1, num_heads=2,
+            hidden_dim=64, mlp_dim=128, num_classes=10,
+        )
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init(rng, x)
+        # zero-init head → logits identically zero at init (ref vit.py:304-306)
+        np.testing.assert_allclose(np.asarray(m.apply(v, x)), 0.0, atol=1e-6)
+
+    def test_interpolate_embeddings(self, rng):
+        m = models.VisionTransformer(
+            image_size=32, patch_size=8, num_layers=1, num_heads=2,
+            hidden_dim=64, mlp_dim=128, num_classes=10,
+        )
+        x = jax.random.normal(rng, (1, 32, 32, 3))
+        v = m.init(rng, x)
+        v2 = models.interpolate_embeddings(v, new_image_size=64, patch_size=8)
+        m2 = models.VisionTransformer(
+            image_size=64, patch_size=8, num_layers=1, num_heads=2,
+            hidden_dim=64, mlp_dim=128, num_classes=10,
+        )
+        x2 = jax.random.normal(rng, (1, 64, 64, 3))
+        out = m2.apply(v2, x2)
+        assert out.shape == (1, 10)
+
+
+class TestSwin:
+    @pytest.mark.parametrize("version", [1, 2])
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_tiny_swin(self, rng, version, robust):
+        m = models.SwinTransformer(
+            patch_size=[4, 4], embed_dim=16, depths=[1, 1], num_heads=[2, 4],
+            window_size=[4, 4], num_classes=10, robust=robust, version=version,
+        )
+        out = _forward(m, rng, img_shape=(2, 32, 32, 3))
+        assert out.shape == (2, 10)
+
+    def test_shifted_windows_differ_from_unshifted(self, rng):
+        # depths [2] → second block shifts; just exercises the mask path
+        m = models.SwinTransformer(
+            patch_size=[4, 4], embed_dim=16, depths=[2], num_heads=[2],
+            window_size=[4, 4], num_classes=10,
+        )
+        assert _forward(m, rng, img_shape=(2, 32, 32, 3)).shape == (2, 10)
+
+    def test_nonsquare_and_padding(self, rng):
+        # 24px / window 7 → padding path (ref swin.py:150-153)
+        m = models.SwinTransformer(
+            patch_size=[4, 4], embed_dim=16, depths=[1], num_heads=[2],
+            window_size=[7, 7], num_classes=10,
+        )
+        assert _forward(m, rng, img_shape=(2, 24, 24, 3)).shape == (2, 10)
+
+    def test_builder_signatures(self):
+        # swin_v2_t(robust=True) is the reference's broken path (SURVEY §8.4)
+        for b in (models.swin_t, models.swin_v2_t):
+            m = b(num_classes=7, robust=True)
+            assert m.num_classes == 7
+
+
+class TestCaiTDeepViT:
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_cait(self, rng, robust):
+        m = models.CaiT(
+            image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
+            cls_depth=1, heads=4, mlp_dim=128, layer_dropout=0.2, robust=robust,
+        )
+        assert _forward(m, rng).shape == (2, 10)
+
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_deepvit(self, rng, robust):
+        m = models.DeepViT(
+            image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
+            heads=4, mlp_dim=128, robust=robust,
+        )
+        assert _forward(m, rng).shape == (2, 10)
+
+
+class TestFactory:
+    def test_registry_contains_new_models(self):
+        names = list_models()
+        for n in ("simple_vit", "vit", "deepvit", "cait", "swin_t", "vit_b_16"):
+            assert n in names
+
+    def test_create_small(self, rng):
+        m = create_model("vit", num_classes=5, image_size=32, robust=True,
+                         dim=32, depth=1, heads=2, mlp_dim=64)
+        assert _forward(m, rng).shape == (2, 5)
