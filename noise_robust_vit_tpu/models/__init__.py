@@ -2,6 +2,17 @@
 
 from .cait import CaiT
 from .deepvit import DeepViT
+from .levit import (
+    LeViT,
+    LeViT_128,
+    LeViT_128S,
+    LeViT_192,
+    LeViT_256,
+    LeViT_384,
+    fuse_levit_variables,
+    levit_flops,
+)
+from .patch_convnet import B60, B120, L60, L120, S60, S60_multi, S120, PatchConvnet
 from .simple_vit import SimpleViT
 from .swin import (
     SwinTransformer,
@@ -26,6 +37,22 @@ from .vit import ViT
 __all__ = [
     "CaiT",
     "DeepViT",
+    "LeViT",
+    "LeViT_128",
+    "LeViT_128S",
+    "LeViT_192",
+    "LeViT_256",
+    "LeViT_384",
+    "fuse_levit_variables",
+    "levit_flops",
+    "B60",
+    "B120",
+    "L60",
+    "L120",
+    "S60",
+    "S60_multi",
+    "S120",
+    "PatchConvnet",
     "SimpleViT",
     "SwinTransformer",
     "swin_b",

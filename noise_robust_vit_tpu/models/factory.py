@@ -58,10 +58,18 @@ def _register_builtins():
     from .simple_vit import SimpleViT
     from .vit import ViT
 
+    from . import levit as _levit
+    from . import patch_convnet as _pc
+
     for name in ("swin_t", "swin_s", "swin_b", "swin_v2_t", "swin_v2_s", "swin_v2_b"):
         _REGISTRY[name] = getattr(_swin, name)
     for name in ("vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14"):
         _REGISTRY[name] = getattr(_vt, name)
+    for name in ("LeViT_128S", "LeViT_128", "LeViT_192", "LeViT_256", "LeViT_384"):
+        _REGISTRY[name] = getattr(_levit, name)
+    _REGISTRY["levit"] = _levit.LeViT_128S  # the CIFAR100.py arch switch name
+    for name in ("S60", "S120", "B60", "B120", "L60", "L120", "S60_multi"):
+        _REGISTRY[name] = getattr(_pc, name)
 
     @register_model("vit")
     def _vit(num_classes, image_size, robust, dtype, **kw):

@@ -166,3 +166,86 @@ class TestFactory:
         m = create_model("vit", num_classes=5, image_size=32, robust=True,
                          dim=32, depth=1, heads=2, mlp_dim=64)
         assert _forward(m, rng).shape == (2, 5)
+
+
+class TestLeViT:
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_forward_tiny(self, rng, robust):
+        m = models.LeViT(
+            img_size=64, patch_size=16, num_classes=10,
+            embed_dim=(32, 48), key_dim=(8, 8), depth=(1, 1),
+            num_heads=(2, 3), attn_ratio=(2, 2), mlp_ratio=(2, 2),
+            down_ops=(("Subsample", 8, 4, 2, 2, 2),), robust=robust,
+        )
+        x = jax.random.normal(rng, (2, 64, 64, 3))
+        variables = m.init({"params": rng}, x)
+        out = m.apply(variables, x)  # eval mode uses running stats
+        assert out.shape == (2, 10)
+        assert np.isfinite(np.asarray(out)).all()
+        # train mode updates batch stats
+        out2, new_state = m.apply(
+            variables, x, deterministic=False, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        assert "batch_stats" in new_state
+
+    def test_builder_and_flops(self, rng):
+        m = models.LeViT_128S(num_classes=5, robust=True)
+        assert m.num_classes == 5 and m.embed_dim == (128, 256, 384)
+        assert models.levit_flops(m) > 0
+
+    def test_bn_fusion_matches_eval(self, rng):
+        m = models.LeViT(
+            img_size=32, patch_size=16, num_classes=4,
+            embed_dim=(16,), key_dim=(4,), depth=(1,), num_heads=(2,),
+            attn_ratio=(2,), mlp_ratio=(2,), down_ops=(),
+        )
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        variables = m.init({"params": rng}, x)
+        # run a few train steps so stats are non-trivial
+        v = variables
+        for i in range(3):
+            _, upd = m.apply(
+                v, jax.random.normal(jax.random.fold_in(rng, i), (2, 32, 32, 3)),
+                deterministic=False, mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            v = {**v, "batch_stats": upd["batch_stats"]}
+        ref = m.apply(v, x)
+        fused = models.fuse_levit_variables(v)
+        got = m.apply(fused, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+class TestPatchConvnet:
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_forward_tiny(self, rng, robust):
+        m = models.PatchConvnet(
+            img_size=32, embed_dim=32, depth=2, num_heads=1, qkv_bias=True,
+            num_classes=10, robust=robust,
+        )
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_multiclass_variant(self, rng):
+        m = models.PatchConvnet(
+            img_size=32, embed_dim=32, depth=1, num_heads=2, qkv_bias=True,
+            num_classes=6, multiclass=True,
+        )
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        assert m.apply(v, x).shape == (2, 6)
+
+    def test_robust_single_cls_is_uniform_pooling(self, rng):
+        # the documented degeneracy: 1-row Sinkhorn → uniform attention
+        from noise_robust_vit_tpu.ops import robust_softmax
+
+        logits = jax.random.normal(rng, (2, 1, 1, 9))
+        attn = robust_softmax(logits, robust=True)
+        np.testing.assert_allclose(np.asarray(attn), 1.0 / 9, atol=1e-5)
+
+    def test_builders(self):
+        m = models.S60(num_classes=3)
+        assert m.embed_dim == 384 and m.depth == 60
