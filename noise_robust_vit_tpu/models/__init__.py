@@ -33,8 +33,33 @@ from .vision_transformer import (
     vit_l_32,
 )
 from .vit import ViT
+from .mae import MAE
+from .simmim import SimMIM
+from .mpp import MPP, mpp_loss
+from .dino import Dino, DinoMLP, DinoNet, DinoState, dino_crops, dino_loss
+from .es_vit import EsViTNet, EsViTState, EsViTTrainer, region_loss_fn
+from .distill import DistillableViT, DistillWrapper
+from .recorder import Extractor, Recorder
 
 __all__ = [
+    "MAE",
+    "SimMIM",
+    "MPP",
+    "mpp_loss",
+    "Dino",
+    "DinoMLP",
+    "DinoNet",
+    "DinoState",
+    "dino_crops",
+    "dino_loss",
+    "EsViTNet",
+    "EsViTState",
+    "EsViTTrainer",
+    "region_loss_fn",
+    "DistillableViT",
+    "DistillWrapper",
+    "Extractor",
+    "Recorder",
     "CaiT",
     "DeepViT",
     "LeViT",

@@ -151,7 +151,7 @@ class CaiT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, img, *, deterministic: bool = True):
+    def __call__(self, img, *, deterministic: bool = True, return_features: bool = False):
         ih, iw = pair(self.image_size)
         ph, pw = pair(self.patch_size)
         if ih % ph or iw % pw:
@@ -181,4 +181,6 @@ class CaiT(nn.Module):
         )(cls_tokens, context=x, deterministic=deterministic)
 
         x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x[:, 0])
+        if return_features:
+            return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

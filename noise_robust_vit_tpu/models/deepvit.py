@@ -72,7 +72,7 @@ class DeepViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, img, *, deterministic: bool = True):
+    def __call__(self, img, *, deterministic: bool = True, return_features: bool = False):
         ih, iw = pair(self.image_size)
         ph, pw = pair(self.patch_size)
         if ih % ph or iw % pw:
@@ -111,4 +111,6 @@ class DeepViT(nn.Module):
 
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
         x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        if return_features:
+            return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

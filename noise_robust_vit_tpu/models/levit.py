@@ -261,7 +261,7 @@ class LeViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, return_features: bool = False):
         # b16 conv stem (ref levit.py:166-176)
         n0 = self.embed_dim[0]
         for i, ch in enumerate((n0 // 8, n0 // 4, n0 // 2, n0)):
@@ -316,6 +316,8 @@ class LeViT(nn.Module):
                     )
 
         x = jnp.mean(x, axis=1)
+        if return_features:
+            return x
         if self.num_classes > 0:
             x = nn.BatchNorm(
                 use_running_average=deterministic, dtype=self.dtype, name="head_bn"

@@ -153,7 +153,7 @@ class PatchConvnet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, return_features: bool = False):
         ed = self.embed_dim
         # ConvStem (ref :277-311): 4× stride-2 conv3x3 with GELU between
         for i, ch in enumerate((ed // 8, ed // 4, ed // 2, ed)):
@@ -214,6 +214,8 @@ class PatchConvnet(nn.Module):
 
         if not self.multiclass:
             feat = x[:, 0]
+            if return_features:
+                return feat
             return nn.Dense(
                 self.num_classes, dtype=self.dtype, **_dense_init, name="head"
             )(feat)

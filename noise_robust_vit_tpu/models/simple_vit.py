@@ -56,11 +56,18 @@ class SimpleViT(nn.Module):
         self.head_norm = nn.LayerNorm(dtype=self.dtype)
         self.linear_head = nn.Dense(self.num_classes, dtype=self.dtype)
 
-    def __call__(self, img, *, deterministic: bool = True):
+    def __call__(self, img, *, deterministic: bool = True, return_features: bool = False):
         x = self.to_patch_embedding(img)
         pe = posemb_sincos_2d(self.grid[0], self.grid[1], self.dim, dtype=x.dtype)
         x = x + pe[None]
         x = self.transformer(x, deterministic=deterministic)
+        if return_features == "tokens":
+            # per-patch token features (EsViT region loss, ref es_vit.py:207-219)
+            return x
         x = jnp.mean(x, axis=1)
         x = self.head_norm(x)
+        if return_features:
+            # pre-head pooled features (functional replacement for the
+            # reference's forward hooks, ref dino.py:120-180)
+            return x
         return self.linear_head(x)

@@ -288,7 +288,7 @@ class SwinTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, return_features: bool = False):
         ph, pw = self.patch_size
         x = nn.Conv(
             self.embed_dim, (ph, pw), strides=(ph, pw), dtype=self.dtype,
@@ -330,6 +330,8 @@ class SwinTransformer(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))
+        if return_features:
+            return x
         return nn.Dense(
             self.num_classes, kernel_init=trunc_normal_init(0.02),
             dtype=self.dtype, name="head",

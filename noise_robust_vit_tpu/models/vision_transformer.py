@@ -162,7 +162,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, return_features: bool = False):
         if x.shape[1] != self.image_size or x.shape[2] != self.image_size:
             raise ValueError(f"expected {self.image_size}px input, got {x.shape}")
         if self.conv_stem_configs is not None:
@@ -219,6 +219,8 @@ class VisionTransformer(nn.Module):
         )(x, deterministic=deterministic)
 
         x = x[:, 0]
+        if return_features:
+            return x
         if self.representation_size is not None:
             x = nn.Dense(
                 self.representation_size,

@@ -86,18 +86,27 @@ class ViT(nn.Module):
         self.final_norm = nn.LayerNorm(dtype=self.dtype)
         self.mlp_head = nn.Dense(self.num_classes, dtype=self.dtype)
 
-    def patchify_tokens(self, img):
-        """Patch tokens BEFORE pos-embedding/CLS — the handle MAE/SimMIM need
-        (ref mae.py:29-31 accesses ``to_patch_embedding`` piecewise)."""
+    def raw_patches(self, img):
+        """Flattened raw pixel patches [B, N, p·p·c] (the reference's
+        ``to_patch`` Rearrange, ref mae.py:56)."""
         b, h, w, c = img.shape
         ph, pw = pair(self.patch_size)
         x = img.reshape(b, h // ph, ph, w // pw, pw, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, (h // ph) * (w // pw), ph * pw * c
         )
-        x = self.patch_norm_in(x)
+
+    def embed_patches(self, patches):
+        """Embed pre-flattened patches (the reference's ``patch_to_emb``,
+        ref mae.py:60; used by MPP which perturbs raw patches first)."""
+        x = self.patch_norm_in(patches)
         x = self.patch_proj(x)
         return self.patch_norm_out(x)
+
+    def patchify_tokens(self, img):
+        """Patch tokens BEFORE pos-embedding/CLS — the handle MAE/SimMIM need
+        (ref mae.py:29-31 accesses ``to_patch_embedding`` piecewise)."""
+        return self.embed_patches(self.raw_patches(img))
 
     def forward_tokens(self, x, *, deterministic: bool = True):
         """Run the transformer stack on an arbitrary token sequence (used by
@@ -105,9 +114,10 @@ class ViT(nn.Module):
         for attn, ff in self.blocks:
             x = attn(x, deterministic=deterministic) + x
             x = ff(x, deterministic=deterministic) + x
+            self.sow("intermediates", "block_out", x)
         return self.final_norm(x)
 
-    def __call__(self, img, *, deterministic: bool = True):
+    def __call__(self, img, *, deterministic: bool = True, return_features: bool = False):
         x = self.patchify_tokens(img)
         b, n, _ = x.shape
         cls = jnp.broadcast_to(self.cls_token.astype(x.dtype), (b, 1, self.dim))
@@ -115,5 +125,11 @@ class ViT(nn.Module):
         x = x + self.pos_embedding[:, : n + 1].astype(x.dtype)
         x = self.emb_drop(x, deterministic=deterministic)
         x = self.forward_tokens(x, deterministic=deterministic)
+        if return_features == "tokens":
+            # patch-token features, CLS dropped (EsViT region loss,
+            # ref es_vit.py:207-219)
+            return x[:, 1:]
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
+        if return_features:
+            return x
         return self.mlp_head(x)
