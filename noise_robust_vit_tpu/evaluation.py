@@ -1,0 +1,138 @@
+"""Retrieval/copy-detection evaluation utilities
+(ref examples/evaluate_copy_detection.py, evaluate_image_retrieval.py).
+
+Pure-JAX/numpy building blocks: GeM pooling, PCA whitening, cosine top-k,
+and the revisited-Oxford/Paris style AP/mAP with junk handling. Feature
+extraction over a dataset runs as a jitted batched forward on the mesh
+(XLA's all-gather replaces the reference's hand-rolled async
+``dist.all_gather`` + rank-0 ``index_copy_``, ref evaluate_copy_detection.py:
+310-339).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "gem_pool",
+    "PCAWhitening",
+    "cosine_topk",
+    "compute_ap",
+    "compute_map",
+    "extract_features",
+]
+
+
+def gem_pool(tokens: jax.Array, p: float = 4.0, eps: float = 1e-6) -> jax.Array:
+    """Generalized-mean pooling over the token axis
+    (ref evaluate_copy_detection.py:294-308: CLS ⊕ GeM₄(patch tokens))."""
+    x = jnp.clip(tokens, eps, None) ** p
+    return jnp.mean(x, axis=-2) ** (1.0 / p)
+
+
+class PCAWhitening:
+    """PCA + whitening learned on a training feature matrix
+    (ref evaluate_copy_detection.py:30-84)."""
+
+    def __init__(self, dim: int = 256, whit: float = 0.5):
+        self.dim = dim
+        self.whit = whit
+        self.mean = None
+        self.proj = None
+
+    def train(self, X: np.ndarray) -> "PCAWhitening":
+        X = np.asarray(X, np.float64)
+        self.mean = X.mean(axis=0)
+        Xc = X - self.mean
+        cov = Xc.T @ Xc / len(X)
+        eigval, eigvec = np.linalg.eigh(cov)
+        order = np.argsort(eigval)[::-1][: self.dim]
+        eigval, eigvec = np.clip(eigval[order], 1e-12, None), eigvec[:, order]
+        self.proj = eigvec * (eigval ** -self.whit)
+        return self
+
+    def apply(self, X: np.ndarray) -> np.ndarray:
+        return (np.asarray(X, np.float64) - self.mean) @ self.proj
+
+
+def cosine_topk(queries: np.ndarray, database: np.ndarray, k: int = 20):
+    """L2-normalize both sides, return (scores, indices) of the top-k
+    database entries per query (ref evaluate_copy_detection.py:497-508)."""
+    q = queries / np.clip(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12, None)
+    d = database / np.clip(np.linalg.norm(database, axis=1, keepdims=True), 1e-12, None)
+    sim = q @ d.T
+    idx = np.argsort(-sim, axis=1)[:, :k]
+    return np.take_along_axis(sim, idx, axis=1), idx
+
+
+def compute_ap(ranks: np.ndarray, nres: int) -> float:
+    """Average precision given 0-indexed ranks of positives
+    (ref evaluate_image_retrieval.py:96-130)."""
+    if nres == 0:
+        return 0.0
+    ap = 0.0
+    recall_step = 1.0 / nres
+    for j, rank in enumerate(ranks):
+        precision_0 = j / rank if rank > 0 else 1.0
+        precision_1 = (j + 1) / (rank + 1)
+        ap += (precision_0 + precision_1) * recall_step / 2.0
+    return ap
+
+
+def compute_map(ranks: np.ndarray, gnd: list[dict], kappas=()):
+    """mAP with junk handling + precision@k
+    (ref evaluate_image_retrieval.py:133-200). ``ranks`` is
+    [num_db, num_queries] (ranked db indices per query); ``gnd[i]`` has
+    'ok' (positives) and optional 'junk' arrays."""
+    mAP = 0.0
+    nq = len(gnd)
+    aps = np.zeros(nq)
+    prs = np.zeros((nq, len(kappas)))
+    nempty = 0
+    for i in range(nq):
+        qgnd = np.asarray(gnd[i]["ok"])
+        if qgnd.size == 0:
+            aps[i] = float("nan")
+            prs[i] = float("nan")
+            nempty += 1
+            continue
+        qgndj = np.asarray(gnd[i].get("junk", []))
+        pos = np.isin(ranks[:, i], qgnd).nonzero()[0]
+        junk = np.isin(ranks[:, i], qgndj).nonzero()[0]
+        if junk.size:
+            # shift positive ranks down past preceding junk
+            ip = 0
+            ij = 0
+            shift = np.zeros(len(pos))
+            while ip < len(pos):
+                while ij < len(junk) and pos[ip] > junk[ij]:
+                    ij += 1
+                shift[ip] = ij
+                ip += 1
+            pos = pos - shift
+        ap = compute_ap(pos, len(qgnd))
+        mAP += ap
+        aps[i] = ap
+        for j, kappa in enumerate(kappas):
+            kq = min(max(len(pos), 1), kappa)
+            prs[i, j] = (pos < kappa).sum() / kq
+    mAP = mAP / max(nq - nempty, 1)
+    return mAP, aps, prs.mean(axis=0) if len(kappas) else None
+
+
+def extract_features(apply_fn, loader, mesh=None) -> tuple[np.ndarray, np.ndarray]:
+    """Run ``apply_fn(images) -> features`` over a loader, returning the full
+    (features, indices) matrices on host in dataset order (the reference's
+    distributed extract + gather, ref evaluate_copy_detection.py:272-339)."""
+    feats, idxs = [], []
+    jitted = jax.jit(apply_fn)
+    for batch in loader:
+        f = jitted(jnp.asarray(batch["image"]))
+        feats.append(np.asarray(jax.device_get(f)))
+        idxs.append(np.asarray(batch["index"]))
+    feats = np.concatenate(feats)
+    idxs = np.concatenate(idxs)
+    order = np.argsort(idxs)
+    return feats[order], idxs[order]

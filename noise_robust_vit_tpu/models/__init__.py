@@ -40,6 +40,7 @@ from .dino import Dino, DinoMLP, DinoNet, DinoState, dino_crops, dino_loss
 from .es_vit import EsViTNet, EsViTState, EsViTTrainer, region_loss_fn
 from .distill import DistillableViT, DistillWrapper
 from .recorder import Extractor, Recorder
+from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 
 __all__ = [
     "MAE",
@@ -60,6 +61,11 @@ __all__ = [
     "DistillWrapper",
     "Extractor",
     "Recorder",
+    "ResNet",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
     "CaiT",
     "DeepViT",
     "LeViT",

@@ -71,6 +71,11 @@ def _register_builtins():
     for name in ("S60", "S120", "B60", "B120", "L60", "L120", "S60_multi"):
         _REGISTRY[name] = getattr(_pc, name)
 
+    from . import resnet as _rn
+
+    for name in ("resnet18", "resnet34", "resnet50", "resnet101"):
+        _REGISTRY[name] = getattr(_rn, name)
+
     @register_model("vit")
     def _vit(num_classes, image_size, robust, dtype, **kw):
         patch = kw.pop("patch_size", 4 if image_size <= 64 else 16)

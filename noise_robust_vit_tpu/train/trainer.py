@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
+from flax.core import unfreeze
 
 from ..parallel import batch_sharding, local_mesh, replicated
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -116,10 +116,9 @@ class Trainer:
     def init_state(self, sample_batch) -> TrainState:
         """Initialize params/model-state from a sample batch and build the
         optimizer. Override ``init_params`` for custom init."""
-        variables = self.init_params(sample_batch)
-        variables = dict(variables)
+        variables = unfreeze(self.init_params(sample_batch))
         params = variables.pop("params")
-        model_state = FrozenDict(variables)
+        model_state = variables  # plain dict: consistent pytree containers
         opt_state = self.tx.init(params)
         return TrainState(
             params=params,
@@ -146,7 +145,7 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             metrics = dict(out.get("metrics", {}))
             metrics["loss"] = loss
-            new_model_state = out.get("model_state", state.model_state)
+            new_model_state = unfreeze(out.get("model_state", state.model_state))
             new_state = state.replace(
                 params=params,
                 opt_state=opt_state,
