@@ -41,6 +41,31 @@ from .es_vit import EsViTNet, EsViTState, EsViTTrainer, region_loss_fn
 from .distill import DistillableViT, DistillWrapper
 from .recorder import Extractor, Recorder
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
+from .max_vit import MaxViT
+from .t2t import T2TViT
+from .pit import PiT
+from .cvt import CvT
+from .cross_vit import CrossViT
+from .cct import CCT, CCT3D, cct_2, cct_4, cct_6, cct_7, cct_8, cct_14, cct_16
+from .nest import NesT
+from .mobile_vit import MobileViT
+from .twins_svt import TwinsSVT
+from .vit_variants import (
+    Adapter,
+    EfficientViT,
+    LearnableMemoryViT,
+    ParallelViT,
+    PatchMerger,
+    SimpleViT1D,
+    SimpleViT3D,
+    SimpleViTWithPatchDropout,
+    SmallDatasetViT,
+    ViT1D,
+    ViT3D,
+    ViTWithPatchDropout,
+    ViTWithPatchMerger,
+    ViViT,
+)
 
 __all__ = [
     "MAE",
@@ -66,6 +91,37 @@ __all__ = [
     "resnet34",
     "resnet50",
     "resnet101",
+    "MaxViT",
+    "T2TViT",
+    "PiT",
+    "CvT",
+    "CrossViT",
+    "CCT",
+    "CCT3D",
+    "cct_2",
+    "cct_4",
+    "cct_6",
+    "cct_7",
+    "cct_8",
+    "cct_14",
+    "cct_16",
+    "NesT",
+    "MobileViT",
+    "TwinsSVT",
+    "Adapter",
+    "EfficientViT",
+    "LearnableMemoryViT",
+    "ParallelViT",
+    "PatchMerger",
+    "SimpleViT1D",
+    "SimpleViT3D",
+    "SimpleViTWithPatchDropout",
+    "SmallDatasetViT",
+    "ViT1D",
+    "ViT3D",
+    "ViTWithPatchDropout",
+    "ViTWithPatchMerger",
+    "ViViT",
     "CaiT",
     "DeepViT",
     "LeViT",

@@ -115,3 +115,119 @@ def test_learnable_memory_adapter(rng):
     assert "vit" in av["params"]
     assert "memories_per_layer" in av["params"]
     assert av["params"]["memories_per_layer"].shape == (2, 4, 32)
+
+
+class TestHierarchical:
+    def test_max_vit(self, rng):
+        from noise_robust_vit_tpu.models import MaxViT
+
+        m = MaxViT(num_classes=10, dim=16, depth=(1, 1), dim_head=8,
+                   window_size=4, dropout=0.0)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+        # robust variant + train mode (BN)
+        m2 = MaxViT(num_classes=10, dim=16, depth=(1,), dim_head=8,
+                    window_size=4, robust=True)
+        v2 = m2.init({"params": rng}, x)
+        out2, _ = m2.apply(v2, x, deterministic=False, mutable=["batch_stats"],
+                           rngs={"dropout": rng})
+        assert np.isfinite(np.asarray(out2)).all()
+
+    def test_t2t(self, rng):
+        from noise_robust_vit_tpu.models import T2TViT
+
+        m = T2TViT(image_size=32, num_classes=10, dim=32, depth=1, heads=2,
+                   mlp_dim=64, t2t_layers=((3, 2), (3, 2)))
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        assert m.apply(v, x).shape == (2, 10)
+
+    def test_pit(self, rng):
+        from noise_robust_vit_tpu.models import PiT
+
+        m = PiT(image_size=32, patch_size=8, num_classes=10, dim=16,
+                depth=(1, 1), heads=2, mlp_dim=32, dim_head=8)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        assert m.apply(v, x).shape == (2, 10)
+
+    def test_cvt(self, rng):
+        from noise_robust_vit_tpu.models import CvT
+
+        m = CvT(num_classes=10, s1_emb_dim=16, s2_emb_dim=24, s3_emb_dim=32,
+                s1_depth=1, s2_depth=1, s3_depth=1)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+    def test_cross_vit(self, rng):
+        from noise_robust_vit_tpu.models import CrossViT
+
+        m = CrossViT(image_size=32, num_classes=10, sm_dim=24, lg_dim=32,
+                     sm_patch_size=4, lg_patch_size=8, sm_enc_depth=1,
+                     lg_enc_depth=1, sm_enc_heads=2, lg_enc_heads=2,
+                     sm_enc_mlp_dim=48, lg_enc_mlp_dim=64, cross_attn_depth=1,
+                     cross_attn_heads=2, depth=1)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng, "dropout": rng}, x)
+        assert m.apply(v, x).shape == (2, 10)
+
+    def test_cct(self, rng):
+        from noise_robust_vit_tpu.models import CCT, cct_2
+
+        m = CCT(img_size=32, embedding_dim=32, n_conv_layers=2, kernel_size=3,
+                stride=1, padding=1, num_layers=2, num_heads=2, mlp_ratio=1,
+                num_classes=10)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng, "dropout": rng}, x)
+        assert m.apply(v, x).shape == (2, 10)
+        b = cct_2(num_classes=5, image_size=32)
+        assert b.num_classes == 5 and b.embedding_dim == 128
+
+    def test_cct3d(self, rng):
+        from noise_robust_vit_tpu.models import CCT3D
+
+        m = CCT3D(img_size=16, num_frames=4, embedding_dim=32, num_layers=1,
+                  num_heads=2, mlp_ratio=1, num_classes=10, kernel_size=3,
+                  stride=2, padding=1)
+        x = jax.random.normal(rng, (1, 4, 16, 16, 3))
+        v = m.init({"params": rng, "dropout": rng}, x)
+        assert m.apply(v, x).shape == (1, 10)
+
+    def test_nest(self, rng):
+        from noise_robust_vit_tpu.models import NesT
+
+        m = NesT(image_size=32, patch_size=4, num_classes=10, dim=16, heads=2,
+                 num_hierarchies=2, block_repeats=(1, 1))
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        assert m.apply(v, x).shape == (2, 10)
+
+    def test_mobile_vit(self, rng):
+        from noise_robust_vit_tpu.models import MobileViT
+
+        m = MobileViT(
+            image_size=(64, 64), dims=(16, 20, 24),
+            channels=(8, 8, 12, 12, 16, 16, 24, 24, 32, 32, 64),
+            num_classes=10, expansion=2, depths=(1, 1, 1),
+        )
+        x = jax.random.normal(rng, (2, 64, 64, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+    def test_twins_svt(self, rng):
+        from noise_robust_vit_tpu.models import TwinsSVT
+
+        m = TwinsSVT(num_classes=10, s1_emb_dim=16, s2_emb_dim=24,
+                     s3_emb_dim=32, s4_emb_dim=48, s1_depth=1, s2_depth=1,
+                     s3_depth=1, s4_depth=1, s1_local_patch_size=4,
+                     s1_global_k=4, s2_local_patch_size=2, s2_global_k=2,
+                     s3_local_patch_size=2, s3_global_k=2, s4_global_k=1)
+        x = jax.random.normal(rng, (2, 64, 64, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
