@@ -50,6 +50,13 @@ from .cct import CCT, CCT3D, cct_2, cct_4, cct_6, cct_7, cct_8, cct_14, cct_16
 from .nest import NesT
 from .mobile_vit import MobileViT
 from .twins_svt import TwinsSVT
+from .ats_vit import ATSViT
+from .sep_vit import SepViT
+from .crossformer import CrossFormer
+from .scalable_vit import ScalableViT
+from .regionvit import RegionViT
+from .local_vit import LocalViT
+from .rvt import RvT
 from .vit_variants import (
     Adapter,
     EfficientViT,
@@ -108,6 +115,13 @@ __all__ = [
     "NesT",
     "MobileViT",
     "TwinsSVT",
+    "ATSViT",
+    "SepViT",
+    "CrossFormer",
+    "ScalableViT",
+    "RegionViT",
+    "LocalViT",
+    "RvT",
     "Adapter",
     "EfficientViT",
     "LearnableMemoryViT",

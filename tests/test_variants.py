@@ -231,3 +231,85 @@ class TestHierarchical:
         v = m.init({"params": rng}, x)
         out = m.apply(v, x)
         assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+
+class TestFinalBatch:
+    def test_ats_vit(self, rng):
+        from noise_robust_vit_tpu.models import ATSViT
+
+        m = ATSViT(image_size=32, patch_size=8, num_classes=10, dim=32,
+                   depth=3, max_tokens_per_depth=(12, 8, 4), heads=2,
+                   mlp_dim=64, dim_head=16)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng, "ats": rng}, x)
+        out = m.apply(v, x)  # deterministic: fixed sampling keys
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+        logits, ids = m.apply(v, x, deterministic=False,
+                              rngs={"ats": rng}, return_sampled_token_ids=True)
+        assert logits.shape == (2, 10)
+        assert ids.shape[1] <= 13  # <= max sampled + cls boundary
+
+    def test_sep_vit(self, rng):
+        from noise_robust_vit_tpu.models import SepViT
+
+        m = SepViT(num_classes=10, dim=16, depth=(1, 1), heads=(1, 2),
+                   window_size=2, dim_head=8)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+    def test_crossformer(self, rng):
+        from noise_robust_vit_tpu.models import CrossFormer
+
+        m = CrossFormer(dim=(16, 24, 32, 48), depth=(1, 1, 1, 1),
+                        global_window_size=(4, 2, 2, 1), local_window_size=2,
+                        dim_head=8, num_classes=10)
+        x = jax.random.normal(rng, (2, 64, 64, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+    def test_scalable_vit(self, rng):
+        from noise_robust_vit_tpu.models import ScalableViT
+
+        m = ScalableViT(num_classes=10, dim=16, depth=(1, 1), heads=(1, 2),
+                        reduction_factor=(2, 1), window_size=(4, 2),
+                        ssa_dim_key=8, ssa_dim_value=8, iwsa_dim_key=8,
+                        iwsa_dim_value=8)
+        x = jax.random.normal(rng, (2, 64, 64, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+    def test_regionvit(self, rng):
+        from noise_robust_vit_tpu.models import RegionViT
+
+        m = RegionViT(dim=(16, 24, 32, 48), depth=(1, 1, 1, 1), window_size=2,
+                      local_patch_size=4, num_classes=10, use_peg=True)
+        x = jax.random.normal(rng, (2, 64, 64, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+    def test_local_vit(self, rng):
+        from noise_robust_vit_tpu.models import LocalViT
+
+        m = LocalViT(image_size=32, patch_size=8, num_classes=10, dim=32,
+                     depth=1, heads=2, mlp_dim=64)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        assert m.apply(v, x).shape == (2, 10)
+
+    @pytest.mark.parametrize("use_rotary,use_ds_conv,use_glu",
+                             [(True, True, True), (False, False, False)])
+    def test_rvt(self, rng, use_rotary, use_ds_conv, use_glu):
+        from noise_robust_vit_tpu.models import RvT
+
+        m = RvT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=1,
+                heads=2, mlp_dim=64, dim_head=16, use_rotary=use_rotary,
+                use_ds_conv=use_ds_conv, use_glu=use_glu)
+        x = jax.random.normal(rng, (2, 32, 32, 3))
+        v = m.init({"params": rng}, x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
