@@ -1,0 +1,71 @@
+"""Build pseudo-label groupings by random projection + spherical k-means
+(ref examples/build_grouping.py): project flattened images (H·W·C → D=4096),
+cluster to k groups on device, save ``indices`` (per-sample cluster) +
+``centroids`` as an npz consumed by simpler_randomlabel's ``--indices-from``.
+
+The reference used faiss GPU k-means (ref build_grouping.py:38-52); here the
+clustering is the jitted TPU k-means of ``ops/kmeans.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noise_robust_vit_tpu import datasets
+from noise_robust_vit_tpu.ops.kmeans import kmeans
+from noise_robust_vit_tpu.train import DataLoader
+from noise_robust_vit_tpu.train.data import augment_batch
+
+
+def main(args):
+    ds = datasets.get_dataset(args.dataset_path, "train", name=args.dataset)
+    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    d = args.proj_dim
+    key = jax.random.PRNGKey(args.seed)
+    feat_dim = ds.images.shape[1] * ds.images.shape[2] * ds.images.shape[3]
+    w = jax.random.normal(key, (feat_dim, d), jnp.float32) / np.sqrt(feat_dim)
+
+    @jax.jit
+    def project(images):
+        x = augment_batch(jax.random.PRNGKey(0), images, train=False)
+        x = x.reshape(x.shape[0], -1)
+        x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
+        return x @ w
+
+    embeds = [np.asarray(jax.device_get(project(jnp.asarray(b["image"]))))
+              for b in loader]
+    x_train = np.concatenate(embeds).astype(np.float32)
+
+    for k in args.clusters:
+        centroids, indices = kmeans(
+            jax.random.fold_in(key, k), jnp.asarray(x_train), k=k,
+            niter=args.niter, spherical=True,
+        )
+        out = Path(args.output or ".") / f"randomproj_{d}_grouped_{k}.npz"
+        np.savez(
+            out,
+            indices=np.asarray(jax.device_get(indices)),
+            centroids=np.asarray(jax.device_get(centroids[:100])),
+        )
+        print(f"wrote {out} ({k} clusters)")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="pseudo-label grouping")
+    parser.add_argument("--dataset", type=str, default="CIFAR100")
+    parser.add_argument("--dataset-path", type=Path, default=None)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--proj-dim", type=int, default=4096)
+    parser.add_argument("--clusters", type=int, nargs="+", default=[1000])
+    parser.add_argument("--niter", type=int, default=20)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output", type=Path, default=None)
+    main(parser.parse_args())
