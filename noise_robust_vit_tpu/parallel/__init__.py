@@ -14,6 +14,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import DEFAULT_TP_RULES, shard_params, tp_param_shardings
 
 __all__ = [
     "batch_sharding",
@@ -21,4 +22,7 @@ __all__ = [
     "make_mesh",
     "replicated",
     "shard_batch",
+    "DEFAULT_TP_RULES",
+    "shard_params",
+    "tp_param_shardings",
 ]
