@@ -54,7 +54,33 @@ def main(args):
 
     sample = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
 
-    if args.method == "dino":
+    if args.method == "esvit":
+        es = models.EsViTTrainer(vit, image_size=image_size, num_classes_K=args.dino_k)
+        state = es.init(rng, sample)
+        opt_state = tx.init(state.student)
+
+        @jax.jit
+        def estep(state, opt_state, images, key):
+            (loss, (lv, lr)), grads = jax.value_and_grad(
+                es.loss, has_aux=True
+            )(state.student, state, images, key)
+            updates, opt_state = tx.update(grads, opt_state, state.student)
+            student = optax.apply_updates(state.student, updates)
+            state = state.replace(
+                student=student, last_view_centers=lv, last_region_centers=lr
+            )
+            state = es.update_moving_average(state)
+            return state, opt_state, loss
+
+        run_state = (state, opt_state)
+
+        def train_step(run_state, images, key):
+            state, opt_state = run_state
+            state, opt_state, loss = estep(state, opt_state, images, key)
+            return (state, opt_state), loss
+
+        params_for_ckpt = lambda rs: rs[0].student
+    elif args.method == "dino":
         dino = models.Dino(vit, image_size=image_size, num_classes_K=args.dino_k)
         state = dino.init(rng, sample)
         opt_state = tx.init(state.student)
@@ -147,7 +173,7 @@ def main(args):
 def build_parser():
     parser = argparse.ArgumentParser(description="SSL pretraining")
     parser.add_argument("--method", type=str, default="mae",
-                        choices=["mae", "simmim", "mpp", "dino"])
+                        choices=["mae", "simmim", "mpp", "dino", "esvit"])
     parser.add_argument("--dataset", type=str, default="CIFAR100")
     parser.add_argument("--robust", type=lambda v: str(v).lower() in ("1", "true"),
                         default=False)
