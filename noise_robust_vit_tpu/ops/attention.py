@@ -103,10 +103,14 @@ def dot_product_attention(
     batch dims). Returns the same dtype as ``v``.
     """
     if use_pallas is None:
-        # the fused kernel pays off where XLA can't stream: the Sinkhorn
-        # path (multiple passes over the N×N matrix); plain softmax
-        # attention is left to XLA's own fusion.
-        use_pallas = robust and use_pallas_default()
+        if _USE_PALLAS is not None:
+            # explicit override via set_use_pallas applies to both modes
+            use_pallas = _USE_PALLAS
+        else:
+            # auto: the fused kernel pays off where XLA can't stream — the
+            # Sinkhorn path (multiple passes over the N×N matrix); plain
+            # softmax attention is left to XLA's own fusion.
+            use_pallas = robust and use_pallas_default()
     if use_pallas:
         from .pallas import sinkhorn_attention as _pk
 

