@@ -38,11 +38,10 @@ def vit_train_flops_per_image(
     return 3 * fwd  # bwd ≈ 2× fwd
 
 
-def main():
-    batch = 256
+def _measure(robust: bool, batch: int = 256, steps: int = 20):
     model = create_model(
         "simple_vit_b16", num_classes=1000, image_size=224,
-        robust=False, dtype=jnp.bfloat16,
+        robust=robust, dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.bfloat16)
@@ -69,15 +68,18 @@ def main():
     params, opt_state, loss = train_step(params, opt_state, x, y)
     float(jax.device_get(loss))
 
-    steps = 20
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = train_step(params, opt_state, x, y)
-    float(jax.device_get(loss))
+    final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
+    return batch * steps / dt / jax.device_count(), final_loss
 
-    n_dev = jax.device_count()
-    imgs_per_sec_per_chip = batch * steps / dt / n_dev
+
+def main():
+    batch = 256
+    imgs_per_sec_per_chip, loss = _measure(robust=False, batch=batch)
+    robust_imgs_per_sec, _ = _measure(robust=True, batch=batch)
     flops = vit_train_flops_per_image()
     target = TARGET_MFU * PEAK_FLOPS_V5E / flops
     mfu = imgs_per_sec_per_chip * flops / PEAK_FLOPS_V5E
@@ -89,8 +91,12 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec_per_chip / target, 4),
                 "mfu": round(mfu, 4),
+                "robust_images_per_sec_per_chip": round(robust_imgs_per_sec, 2),
+                "robust_mfu": round(
+                    robust_imgs_per_sec * flops / PEAK_FLOPS_V5E, 4
+                ),
                 "batch": batch,
-                "loss": float(jax.device_get(loss)),
+                "loss": loss,
             }
         )
     )

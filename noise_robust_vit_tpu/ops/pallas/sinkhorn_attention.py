@@ -195,15 +195,150 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
     return out
 
 
+def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
+    """Hand-derived backward (per head, recompute-in-VMEM).
+
+    Forward is ``O = diag(a)·A·diag(b)·V`` with A = masked softmax and (a, b)
+    the Sinkhorn–Knopp vectors. Reverse-mode:
+
+      * direct: dV = b ⊙ (Aᵀ(a⊙G));  dA += (a⊙(G Vᵀ)⊙b);
+        da_last = rowsum(G ⊙ A(b⊙V));  db_T += rowsum(Aᵀ(a⊙G) ⊙ V)
+      * each reciprocal node x = 1/(A·y) contributes dA += dx' yᵀ and
+        dy += Aᵀ dx' with dx' = −dx ⊙ x² (transposed for the b-nodes) —
+        rank-1 outer products accumulated into ONE N×N buffer.
+      * softmax vjp: dS = A ⊙ (dA − rowsum(dA ⊙ A)); dQ = scale·dS·K,
+        dK = scale·dSᵀ·Q. Masked (zero) entries of A annihilate all padded-
+        lane junk, so no extra masking is needed here.
+
+    ~3 live N×N f32 buffers vs ~10 for the in-kernel autodiff vjp, which
+    allows much larger head groups per program.
+    """
+    n_pad = q.shape[0]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        qf, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    needs_mask = n != n_pad
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        s = jnp.where(col < n, s, -1e9)
+    attn = jax.nn.softmax(s, axis=-1)
+    if needs_mask:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        attn = jnp.where((row < n) & (col < n), attn, 0.0)
+
+    if not robust:
+        dv = jax.lax.dot_general(
+            attn, gf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dA = jax.lax.dot_general(
+            gf, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = attn * (dA - jnp.sum(dA * attn, axis=-1, keepdims=True))
+        dq = scale * jax.lax.dot_general(
+            ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = scale * jax.lax.dot_general(
+            ds, qf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq, dk, dv
+
+    def _recip(x):
+        if not needs_mask:
+            return 1.0 / x
+        safe = jnp.where(x == 0.0, 1.0, x)
+        return jnp.where(x == 0.0, 1.0, 1.0 / safe)
+
+    # forward vector iteration, storing every a_t [N,1] / b_t [1,N]
+    bs = [jnp.ones((1, n_pad), jnp.float32)]
+    as_ = []
+    for _ in range(iters):
+        a_t = _recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True))
+        as_.append(a_t)
+        b_t = _recip(jnp.sum(attn * a_t, axis=-2, keepdims=True))
+        bs.append(b_t)
+    if final_row:
+        as_.append(_recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True)))
+    a_fin = as_[-1]
+    b_fin = bs[-1]
+
+    bv = b_fin.reshape(n_pad, 1) * vf
+    o_over_a = jax.lax.dot_general(
+        attn, bv, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ag = a_fin * gf  # [N, D]
+    t1 = jax.lax.dot_general(
+        attn, ag, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # Aᵀ(a⊙G), [N, D]
+    dv = b_fin.reshape(n_pad, 1) * t1
+    # direct dA and vector grads
+    dA = (
+        a_fin
+        * jax.lax.dot_general(
+            gf, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * b_fin
+    )
+    da = jnp.sum(gf * o_over_a, axis=-1, keepdims=True)  # for a_last
+    db = jnp.sum(t1 * vf, axis=-1, keepdims=True)  # for b_T, as [N,1]
+
+    def mv(mat_T, vec_col):
+        # A @ x or Aᵀ @ x with x [N,1] via masked sums (VPU, stays in VMEM)
+        if mat_T:
+            return jnp.sum(attn * vec_col, axis=-2, keepdims=True)  # [1,N]
+        return jnp.sum(attn * vec_col.reshape(1, n_pad), axis=-1, keepdims=True)
+
+    # reverse the iteration
+    if final_row:
+        # a* = recip(A b_T)
+        dr = -da * a_fin * a_fin  # [N,1]
+        dA = dA + dr * bs[-1]  # rank-1: [N,1]*[1,N]
+        db = db + mv(True, dr).reshape(n_pad, 1)
+        da = jnp.zeros_like(da)
+    for t in range(iters - 1, -1, -1):
+        a_t = as_[t]
+        b_t = bs[t + 1]
+        # b_t = recip(Aᵀ a_t): db currently holds grad of b_t (as [N,1])
+        dc = -db * (b_t * b_t).reshape(n_pad, 1)  # [N,1] repr of [1,N]
+        dA = dA + a_t * dc.reshape(1, n_pad)  # rank-1: [N,1]*[1,N]
+        da = da + mv(False, dc)  # A @ dc → grad into a_t
+        # a_t = recip(A b_{t-1})
+        dr = -da * a_t * a_t
+        dA = dA + dr * bs[t]
+        db = mv(True, dr).reshape(n_pad, 1)  # grad into b_{t-1}
+        da = jnp.zeros_like(da)
+
+    ds = attn * (dA - jnp.sum(dA * attn, axis=-1, keepdims=True))
+    dq = scale * jax.lax.dot_general(
+        ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk = scale * jax.lax.dot_general(
+        ds, qf, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dq, dk, dv
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, n,
                 robust, iters, final_row, g):
-    f = functools.partial(
-        _single_head_math, scale=scale, n=n, robust=robust, iters=iters,
-        final_row=final_row,
-    )
     for gi in range(g):
-        _, vjp = jax.vjp(f, q_ref[gi], k_ref[gi], v_ref[gi])
-        dq, dk, dv = vjp(g_ref[gi].astype(jnp.float32))
+        dq, dk, dv = _bwd_math_manual(
+            q_ref[gi], k_ref[gi], v_ref[gi], g_ref[gi],
+            scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+        )
         dq_ref[gi] = dq.astype(dq_ref.dtype)
         dk_ref[gi] = dk.astype(dk_ref.dtype)
         dv_ref[gi] = dv.astype(dv_ref.dtype)
@@ -224,10 +359,8 @@ def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters, final_r
             jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0))) for t in (q, k, v, g)
         )
     dv_dim = v.shape[-1]
-    # the unrolled vjp keeps ~10 N×N f32 intermediates live PER HEAD in the
-    # group (measured from Mosaic's scoped-vmem accounting) → size the group
-    # against that, not just the IO blocks
-    per_head = 10 * n_pad * n_pad * 4 + 2 * 7 * n_pad * max(d, dv_dim) * 2
+    # the hand-derived backward keeps ~4 N×N f32 buffers live per head
+    per_head = 4 * n_pad * n_pad * 4 + 2 * 7 * n_pad * max(d, dv_dim) * 2
     gb = 1
     for cand in (8, 6, 4, 3, 2, 1):
         if bh % cand:
