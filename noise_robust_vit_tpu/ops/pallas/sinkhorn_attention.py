@@ -57,14 +57,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row, g
 
 
 def _pick_group(bh: int, n_pad: int, d: int, arrays: int) -> int:
-    """Largest divisor of ``bh`` whose block working set fits a VMEM budget:
-    double-buffered bf16 IO blocks + one f32 N×N scratch per live head."""
-    budget = 10 * 1024 * 1024
+    """Largest divisor of ``bh`` whose block working set fits a VMEM budget.
+    Mosaic's scoped allocation keeps each unrolled head's f32 N×N scratch
+    live separately, so the scratch is accounted PER HEAD."""
+    budget = 12 * 1024 * 1024
+    per_head = n_pad * n_pad * 4 + 2 * arrays * n_pad * d * 2
     for g in (16, 12, 8, 6, 4, 3, 2, 1):
         if bh % g:
             continue
-        io = 2 * arrays * g * n_pad * d * 2
-        if io + n_pad * n_pad * 4 <= budget:
+        if g * per_head <= budget:
             return g
     return 1
 

@@ -139,3 +139,12 @@ def robust_softmax(logits: jax.Array, robust: bool = False, axis: int = -1) -> j
     if not robust:
         return jax.nn.softmax(logits, axis=axis)
     return sinkhorn_attention(logits, axis=axis, num_iters=3, final_row_norm=True)
+
+
+if __name__ == "__main__":
+    # smoke check mirroring the reference's (ref utils.py:1208-1213):
+    # rows sum to 1 exactly, columns approximately
+    key = jax.random.PRNGKey(0)
+    attn = sinkhorn_attention(jax.random.normal(key, (2, 16, 16)))
+    print("row sums:", jnp.sum(attn, axis=-1)[0, :4])
+    print("col sums:", jnp.sum(attn, axis=-2)[0, :4])
