@@ -47,6 +47,24 @@ def use_pallas_default() -> bool:
         return False
 
 
+def pallas_dispatch(robust: bool) -> bool:
+    """Dispatch policy for the GLOBAL fused attention kernel: auto uses it
+    only for the Sinkhorn path (XLA's own fusion wins for plain softmax in
+    full models); ``set_use_pallas(True/False)`` overrides for both modes."""
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    return robust and use_pallas_default()
+
+
+def window_kernel_dispatch() -> bool:
+    """Dispatch policy for the WINDOWED fused kernel: opt-in only
+    (``set_use_pallas(True)``). Measured on v5e, XLA's batched GEMMs beat the
+    per-window kernel for every windowed model in the zoo (swin_t robust
+    491 vs 185 img/s; LeViT_128S robust 4921 vs 4226) — the kernel remains
+    available for large-window regimes and other hardware."""
+    return _USE_PALLAS is True
+
+
 def attention_weights(
     q: jax.Array,
     k: jax.Array,
@@ -103,14 +121,7 @@ def dot_product_attention(
     batch dims). Returns the same dtype as ``v``.
     """
     if use_pallas is None:
-        if _USE_PALLAS is not None:
-            # explicit override via set_use_pallas applies to both modes
-            use_pallas = _USE_PALLAS
-        else:
-            # auto: the fused kernel pays off where XLA can't stream — the
-            # Sinkhorn path (multiple passes over the N×N matrix); plain
-            # softmax attention is left to XLA's own fusion.
-            use_pallas = robust and use_pallas_default()
+        use_pallas = pallas_dispatch(robust)
     if use_pallas:
         from .pallas import sinkhorn_attention as _pk
 
