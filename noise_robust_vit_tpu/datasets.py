@@ -61,7 +61,11 @@ def synthetic_dataset(
     if learnable:
         ys = np.linspace(0, 2 * np.pi, image_size)
         grid = np.stack(np.meshgrid(ys, ys, indexing="ij"), -1)  # [H,W,2]
-        freqs = rng.uniform(0.5, 3.0, (num_classes, 2))
+        # class patterns come from a FIXED rng so train/val splits (different
+        # ``seed``) share the same class→pattern mapping; only the noise and
+        # label draws vary per split
+        pattern_rng = np.random.default_rng(1234567)
+        freqs = pattern_rng.uniform(0.5, 3.0, (num_classes, 2))
         pattern = np.sin(grid @ freqs.T.reshape(2, num_classes))  # [H,W,K]
         signal = pattern[..., labels].transpose(2, 0, 1)  # [N,H,W]
         images = images * 0.3 + (signal[..., None] * 0.5 + 0.5) * 255 * 0.7

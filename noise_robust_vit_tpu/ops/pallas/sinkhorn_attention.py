@@ -15,9 +15,12 @@ any two-pass blockwise scheme.
 
 Sequence/head-dim are padded to hardware tiles inside the wrapper; padded
 rows/columns are masked to zero after the softmax so they contribute nothing
-to Sinkhorn's row/column sums, and all-zero padded rows/columns divide by a
-`where`-guarded denominator (sum==0 → 1) so valid entries see the exact
-reference arithmetic with no epsilon perturbation.
+to Sinkhorn's row/column sums; all-zero padded rows/columns divide by a
+`where`-guarded denominator (sum==0 → 1), and live denominators are clamped
+at 1e-8 — during training attention can starve a key of mass and the
+scaling-vector form would overflow f32 where the reference's matrix-rewrite
+form stays ratio-stable (the clamp is inactive at healthy attention mass, so
+parity with the reference is unaffected).
 """
 
 from __future__ import annotations
@@ -171,10 +174,12 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
     vf = v.astype(jnp.float32)
     if robust:
         def _recip(x):
-            if not needs_mask:
-                return 1.0 / x
+            # clamped reciprocal (see ops/sinkhorn.py::sinkhorn_scalings):
+            # starved keys would overflow f32 in the vector form; the
             # double-where keeps the vjp NaN-free at masked (x==0) entries
-            safe = jnp.where(x == 0.0, 1.0, x)
+            if not needs_mask:
+                return 1.0 / jnp.maximum(x, 1e-8)
+            safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
             return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
         b = jnp.ones((1, n_pad), jnp.float32)
@@ -254,9 +259,10 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
         return dq, dk, dv
 
     def _recip(x):
+        # clamped: see ops/sinkhorn.py::sinkhorn_scalings
         if not needs_mask:
-            return 1.0 / x
-        safe = jnp.where(x == 0.0, 1.0, x)
+            return 1.0 / jnp.maximum(x, 1e-8)
+        safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
     # forward vector iteration, storing every a_t [N,1] / b_t [1,N]

@@ -63,7 +63,8 @@ def _attn_matrix(q, k, bias, *, scale, n):
 
 
 def _recip(x):
-    safe = jnp.where(x == 0.0, 1.0, x)
+    # clamped: see ops/sinkhorn.py::sinkhorn_scalings
+    safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
     return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
 

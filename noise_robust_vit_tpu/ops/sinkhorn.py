@@ -53,9 +53,13 @@ def sinkhorn_scalings(
     """
 
     def _recip(x):
-        # double-where: the inner guard keeps d(1/x) finite at masked
-        # (all-zero) entries so the vjp stays NaN-free
-        safe = jnp.where(x == 0.0, 1.0, x)
+        # Masked (exact-zero) sums map to 1 via a double-where so the vjp
+        # stays NaN-free. Live sums are clamped at 1e-8: during training,
+        # attention can sharpen until some key receives ~0 total mass, and
+        # the scaling vector 1/colsum overflows f32 (the reference's matrix
+        # rewrites are ratio-stable; the vector form must clamp). The clamp
+        # is inactive at any healthy attention mass, preserving parity.
+        safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
     b = jnp.ones(attn.shape[:-2] + (attn.shape[-1],), attn.dtype)

@@ -244,3 +244,43 @@ class TestWindowKernel:
         bias = jnp.zeros((4, 49, 49))
         # small windows are gated off (XLA wins there)
         assert fused_window_attention(q, q, q, bias) is None
+
+
+class TestSinkhornStability:
+    def test_starved_key_no_overflow(self, rng):
+        """Training can sharpen attention until a key receives ~0 mass; the
+        vector-form Sinkhorn must clamp instead of overflowing f32
+        (regression: NaN at epoch ~9 of robust ViT training)."""
+        logits = jax.random.normal(rng, (2, 2, 32, 32))
+        logits = logits.at[..., :, 5].add(-60.0)  # starve key 5 everywhere
+        attn = ops.sinkhorn_attention(logits)
+        assert np.isfinite(np.asarray(attn)).all()
+        # grads through the full robust attention also finite
+        q = jax.random.normal(rng, (1, 1, 16, 8)) * 8  # sharp attention
+        g = jax.grad(
+            lambda q: jnp.sum(
+                ops.dot_product_attention(q, q, q, robust=True, use_pallas=False) ** 2
+            )
+        )(q)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_synthetic_patterns_shared_across_splits(self):
+        from noise_robust_vit_tpu import datasets
+
+        tr = datasets.synthetic_dataset(512, 16, 10, seed=0)
+        va = datasets.synthetic_dataset(512, 16, 10, seed=1)
+
+        def class_means(ds):
+            return np.stack([
+                ds.images[ds.labels == c].mean(0).ravel() for c in range(10)
+            ])
+
+        mt, mv = class_means(tr), class_means(va)
+        mt = mt - mt.mean(0)
+        mv = mv - mv.mean(0)
+        # same-class means across splits correlate far more than cross-class
+        same = np.mean([
+            np.dot(mt[c], mv[c]) / (np.linalg.norm(mt[c]) * np.linalg.norm(mv[c]))
+            for c in range(10)
+        ])
+        assert same > 0.8
