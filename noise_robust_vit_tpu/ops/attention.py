@@ -152,9 +152,14 @@ def dot_product_attention(
         attn = jnp.where(mask, attn, 0.0)
     if robust:
         # vector-form Sinkhorn: out = a ⊙ (A0 @ (b ⊙ v)) — the N×N matrix
-        # is read once per matvec instead of rewritten per iteration.
+        # is read once per matvec instead of rewritten per iteration. With
+        # no hard mask the rows are an exact softmax, so the first row
+        # normalization is skipped (identity in value and gradient).
         a, b = sinkhorn_scalings(
-            attn, num_iters=sinkhorn_iters, final_row_norm=final_row_norm
+            attn,
+            num_iters=sinkhorn_iters,
+            final_row_norm=final_row_norm,
+            assume_row_stochastic=mask is None,
         )
         v = v * b[..., :, None].astype(v.dtype)
         out = jnp.einsum(

@@ -184,8 +184,11 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
 
         b = jnp.ones((1, n_pad), jnp.float32)
         a = jnp.ones((n_pad, 1), jnp.float32)
-        for _ in range(iters):
-            a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+        for i in range(iters):
+            # i == 0: rowsum(softmax) ≡ 1 as a function of the logits (value
+            # AND gradient), so the first row normalization is the identity
+            if i > 0:
+                a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
             b = _recip(jnp.sum(attn * a, axis=-2, keepdims=True))
         if final_row:
             a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
@@ -265,11 +268,16 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
-    # forward vector iteration, storing every a_t [N,1] / b_t [1,N]
+    # forward vector iteration, storing every a_t [N,1] / b_t [1,N];
+    # a_0 ≡ 1 (first row norm of a row softmax is the identity in value and
+    # gradient), so its reverse node is skipped below
     bs = [jnp.ones((1, n_pad), jnp.float32)]
     as_ = []
-    for _ in range(iters):
-        a_t = _recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True))
+    for i in range(iters):
+        if i == 0:
+            a_t = jnp.ones((n_pad, 1), jnp.float32)
+        else:
+            a_t = _recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True))
         as_.append(a_t)
         b_t = _recip(jnp.sum(attn * a_t, axis=-2, keepdims=True))
         bs.append(b_t)
@@ -320,6 +328,9 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
         # b_t = recip(Aᵀ a_t): db currently holds grad of b_t (as [N,1])
         dc = -db * (b_t * b_t).reshape(n_pad, 1)  # [N,1] repr of [1,N]
         dA = dA + a_t * dc.reshape(1, n_pad)  # rank-1: [N,1]*[1,N]
+        if t == 0:
+            # a_0 is the constant 1 — its gradient is discarded exactly
+            break
         da = da + mv(False, dc)  # A @ dc → grad into a_t
         # a_t = recip(A b_{t-1})
         dr = -da * a_t * a_t

@@ -69,11 +69,16 @@ def _recip(x):
 
 
 def _sinkhorn_vectors(attn, *, iters, final_row):
+    # a_0 ≡ 1: the first row norm of a row softmax is the identity in value
+    # and gradient (see ops/sinkhorn.py)
     nq, nk = attn.shape
     bs = [jnp.ones((1, nk), jnp.float32)]
     as_ = []
-    for _ in range(iters):
-        a_t = _recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True))
+    for i in range(iters):
+        if i == 0:
+            a_t = jnp.ones((nq, 1), jnp.float32)
+        else:
+            a_t = _recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True))
         as_.append(a_t)
         bs.append(_recip(jnp.sum(attn * a_t, axis=-2, keepdims=True)))
     if final_row:
@@ -151,6 +156,8 @@ def _da_dv(attn, vf, gf, *, robust, iters, final_row):
         a_t, b_t = as_[t], bs[t + 1]
         dc = -db * (b_t * b_t).reshape(nk, 1)
         dA = dA + a_t * dc.reshape(1, nk)
+        if t == 0:
+            break  # a_0 is the constant 1; its gradient is discarded exactly
         da = da + mv(dc)
         dr = -da * a_t * a_t
         dA = dA + dr * bs[t]

@@ -34,6 +34,7 @@ def sinkhorn_scalings(
     attn: jax.Array,
     num_iters: int = 3,
     final_row_norm: bool = True,
+    assume_row_stochastic: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Sinkhorn row/column scaling vectors — the O(N·iters) form.
 
@@ -64,8 +65,15 @@ def sinkhorn_scalings(
 
     b = jnp.ones(attn.shape[:-2] + (attn.shape[-1],), attn.dtype)
     a = jnp.ones(attn.shape[:-2] + (attn.shape[-2],), attn.dtype)
-    for _ in range(num_iters):
-        a = _recip(jnp.einsum("...nm,...m->...n", attn, b))
+    for i in range(num_iters):
+        if i == 0 and assume_row_stochastic:
+            # ``attn`` is a row softmax: rowsum ≡ 1 as a function of the
+            # LOGITS (value and gradient — d(rowsum∘softmax) = 0), so the
+            # first row normalization is exactly the identity. Only set this
+            # flag when differentiation happens through the softmax.
+            pass
+        else:
+            a = _recip(jnp.einsum("...nm,...m->...n", attn, b))
         b = _recip(jnp.einsum("...nm,...n->...m", attn, a))
     if final_row_norm:
         a = _recip(jnp.einsum("...nm,...m->...n", attn, b))

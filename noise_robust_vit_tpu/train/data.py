@@ -22,9 +22,39 @@ __all__ = [
     "ArrayDataset",
     "DataLoader",
     "augment_batch",
+    "prefetch_to_device",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
 ]
+
+
+def prefetch_to_device(iterator, sharding, size: int = 2):
+    """Wrap a host batch iterator with a ``size``-deep device-put lookahead:
+    the next batch's H2D transfer overlaps the current step's execution
+    (device_put is async). The FFCV loader the reference relies on does the
+    same overlap with CUDA streams (SURVEY.md §2.4)."""
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        )
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)

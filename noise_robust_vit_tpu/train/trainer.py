@@ -181,6 +181,27 @@ class Trainer:
             lambda x: jax.device_put(jnp.asarray(x), sharding), batch
         )
 
+    def _prefetch(self, loader, size: int = 2):
+        """Iterate device-resident batches with a ``size``-deep lookahead so
+        the next H2D transfer overlaps the current step (device_put is
+        async) — the role FFCV's stream overlap played for the reference."""
+        import collections
+
+        queue = collections.deque()
+        it = iter(loader)
+        try:
+            for _ in range(size):
+                queue.append(self._shard_batch(next(it)))
+        except StopIteration:
+            pass
+        while queue:
+            out = queue.popleft()
+            try:
+                queue.append(self._shard_batch(next(it)))
+            except StopIteration:
+                pass
+            yield out
+
     def setup(self):
         """Build mesh, loaders, model, optimizer, state, jitted steps."""
         if self.mesh is None:
@@ -230,11 +251,11 @@ class Trainer:
                 self.train_loader.set_epoch(self.epoch)
             t0 = time.perf_counter()
             last_metrics = {}
-            for batch in self.train_loader:
-                step = int(jax.device_get(self.state.step))
-                key = jax.random.fold_in(self.rng, step)
+            base_step = int(jax.device_get(self.state.step))
+            for i, device_batch in enumerate(self._prefetch(self.train_loader)):
+                key = jax.random.fold_in(self.rng, base_step + i)
                 self.state, metrics = self._train_step(
-                    self.state, self._shard_batch(batch), key
+                    self.state, device_batch, key
                 )
                 self.after_train_step(metrics)
                 last_metrics = metrics
