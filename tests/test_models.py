@@ -249,3 +249,42 @@ class TestPatchConvnet:
     def test_builders(self):
         m = models.S60(num_classes=3)
         assert m.embed_dim == 384 and m.depth == 60
+
+
+class TestFactoryComplete:
+    def test_every_registered_arch_instantiates(self):
+        """Every factory name constructs (no forward — just ctor wiring)."""
+        import jax.numpy as jnp
+
+        for name in list_models():
+            if name.endswith("_test") or name in ("tiny2", "dryrun_tiny",
+                                                  "tiny4diet", "tiny_ne"):
+                continue
+            m = create_model(name, num_classes=10, image_size=224,
+                             robust=False, dtype=jnp.float32)
+            assert m is not None, name
+
+    def test_registry_covers_zoo_families(self):
+        names = set(list_models())
+        expected = {
+            "simple_vit", "simple_vit_b16", "vit", "deepvit", "cait",
+            "swin_t", "swin_v2_b", "vit_b_16", "vit_h_14", "LeViT_384",
+            "levit", "S60", "B120", "resnet50", "cct_7", "maxvit_t",
+            "t2t_vit", "cross_vit_small", "pit_small", "cvt_13",
+            "twins_svt_small", "crossformer_small", "regionvit_small",
+            "scalable_vit_small", "sep_vit_small", "nest_tiny",
+            "mobile_vit_xs", "ats_vit", "local_vit", "rvt_small",
+            "small_dataset_vit",
+        }
+        missing = expected - names
+        assert not missing, f"factory missing: {missing}"
+
+    def test_forward_spot_checks(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        for name, size in (("cct_2", 32), ("t2t_vit", 32)):
+            m = create_model(name, num_classes=5, image_size=size)
+            x = jax.random.normal(rng, (1, size, size, 3))
+            v = m.init({"params": rng, "dropout": rng}, x)
+            assert m.apply(v, x).shape == (1, 5)
