@@ -62,14 +62,15 @@ def main(args):
 
     def featurize(images):
         x = augment_batch(jax.random.PRNGKey(0), images, train=False)
-        # CLS/pooled features; ViT-family models with token outputs get
-        # CLS ⊕ GeM-pooled patch tokens (ref :294-308)
-        try:
-            tokens = model.apply(variables, x, return_features="tokens")
-            pooled = model.apply(variables, x, return_features=True)
+        # ViT-family models with token outputs get CLS/pooled ⊕ GeM₄-pooled
+        # patch tokens (ref :294-308); models without a token view fall back
+        # to pooled features (detected by rank — a "tokens" request on such
+        # models returns the pooled [B, D] vector)
+        tokens = model.apply(variables, x, return_features="tokens")
+        pooled = model.apply(variables, x, return_features=True)
+        if tokens.ndim == 3:
             return jnp.concatenate([pooled, gem_pool(tokens, p=4.0)], axis=-1)
-        except TypeError:
-            return model.apply(variables, x, return_features=True)
+        return pooled
 
     splits = {}
     for split, n, seed in (

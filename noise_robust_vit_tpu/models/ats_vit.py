@@ -99,7 +99,7 @@ class ATSViT(nn.Module):
         inner = self.heads * self.dim_head
         for i, out_tokens in enumerate(self.max_tokens_per_depth):
             num_tokens = x.shape[1]
-            xn = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}")(x)
             qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                            name=f"to_qkv_{i}")(xn)
             q, k, v = (
@@ -129,9 +129,9 @@ class ATSViT(nn.Module):
             out = nn.Dense(self.dim, dtype=self.dtype, name=f"to_out_{i}")(out)
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
             x = x + out
-            xf = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            xf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_{i}_fc1")(xf)
-            f = nn.gelu(f)
+            f = nn.gelu(f, approximate=False)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_fc2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
@@ -139,7 +139,7 @@ class ATSViT(nn.Module):
 
         logits = nn.Dense(
             self.num_classes, dtype=self.dtype, name="head"
-        )(nn.LayerNorm(dtype=self.dtype, name="head_norm")(x[:, 0]))
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x[:, 0]))
         if return_sampled_token_ids:
             return logits, token_ids[:, 1:] - 1
         return logits

@@ -72,7 +72,7 @@ class _FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -119,13 +119,13 @@ class _Transformer(nn.Module):
                 ).astype(x.dtype)
             else:
                 keep = 1.0
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}")(x)
             h = _TalkingHeadsAttention(
                 self.dim, self.heads, self.dim_head, self.dropout, self.robust,
                 dtype=self.dtype, name=f"attn_{i}",
             )(h, context=context, deterministic=deterministic)
             x = x + keep * h * scale_a.astype(x.dtype)
-            f = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f = _FeedForward(
                 self.dim, self.mlp_dim, self.dropout, dtype=self.dtype,
                 name=f"ff_{i}",
@@ -180,7 +180,7 @@ class CaiT(nn.Module):
             name="cls_transformer",
         )(cls_tokens, context=x, deterministic=deterministic)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x[:, 0])
         if return_features:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

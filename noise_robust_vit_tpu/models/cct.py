@@ -98,14 +98,14 @@ class _TransformerClassifier(nn.Module):
                 name=f"block{i}_attn",
             )(x, deterministic=deterministic)
             x = x + sd(a, deterministic=deterministic)
-            f = nn.LayerNorm(dtype=self.dtype, name=f"block{i}_norm2")(x)
+            f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"block{i}_norm2")(x)
             f = nn.Dense(hidden, dtype=self.dtype, name=f"block{i}_fc1")(f)
-            f = nn.gelu(f)
+            f = nn.gelu(f, approximate=False)
             f = nn.Dropout(self.dropout_rate)(f, deterministic=deterministic)
             f = nn.Dense(self.embedding_dim, dtype=self.dtype, name=f"block{i}_fc2")(f)
             f = nn.Dropout(self.dropout_rate)(f, deterministic=deterministic)
             x = x + sd(f, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         if self.seq_pool:
             # learned attention pooling (ref cct.py:286-290)

@@ -150,8 +150,8 @@ class CrossViT(nn.Module):
         sm_cls, lg_cls = sm[:, 0], lg[:, 0]
         sm_logits = nn.Dense(
             self.num_classes, dtype=self.dtype, name="sm_head"
-        )(nn.LayerNorm(dtype=self.dtype, name="sm_head_norm")(sm_cls))
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="sm_head_norm")(sm_cls))
         lg_logits = nn.Dense(
             self.num_classes, dtype=self.dtype, name="lg_head"
-        )(nn.LayerNorm(dtype=self.dtype, name="lg_head_norm")(lg_cls))
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="lg_head_norm")(lg_cls))
         return sm_logits + lg_logits

@@ -34,7 +34,7 @@ class _DPB(nn.Module):
         x = rel
         for i in range(3):
             x = nn.Dense(self.dim, dtype=jnp.float32, name=f"fc{i}")(x)
-            x = nn.LayerNorm(dtype=jnp.float32, name=f"ln{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln{i}")(x)
             x = nn.relu(x)
         return nn.Dense(1, dtype=jnp.float32, name="out")(x)[..., 0]
 
@@ -111,7 +111,7 @@ class _ConvFF(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         y = _ChannelLN(self.dim, dtype=self.dtype, name="norm")(x)
         y = nn.Conv(self.dim * 4, (1, 1), dtype=self.dtype, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(y)
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)

@@ -159,7 +159,7 @@ class CvT(nn.Module):
                                 name=f"s{s}_b{d}_norm2")(x)
                 f = nn.Conv(cfg["emb_dim"] * cfg["mlp_mult"], (1, 1),
                             dtype=self.dtype, name=f"s{s}_b{d}_ff1")(xn)
-                f = nn.gelu(f)
+                f = nn.gelu(f, approximate=False)
                 f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
                 f = nn.Conv(cfg["emb_dim"], (1, 1), dtype=self.dtype,
                             name=f"s{s}_b{d}_ff2")(f)

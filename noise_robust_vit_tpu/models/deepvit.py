@@ -47,7 +47,7 @@ class _ReAttention(nn.Module):
         mix = self.param("reattn_weights", nn.initializers.normal(1.0), (h, h))
         attn = jnp.einsum("bhij,hg->bgij", attn, mix.astype(attn.dtype))
         attn = attn.transpose(0, 2, 3, 1)  # b i j h
-        attn = nn.LayerNorm(dtype=self.dtype, name="reattn_norm")(attn)
+        attn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="reattn_norm")(attn)
         attn = attn.transpose(0, 3, 1, 2)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
@@ -96,21 +96,21 @@ class DeepViT(nn.Module):
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
 
         for i in range(self.depth):
-            hpre = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            hpre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}")(x)
             x = x + _ReAttention(
                 self.dim, self.heads, self.dim_head, self.dropout, self.robust,
                 dtype=self.dtype, name=f"attn_{i}",
             )(hpre, deterministic=deterministic)
-            fpre = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            fpre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_{i}_fc1")(fpre)
-            f = nn.gelu(f)
+            f = nn.gelu(f, approximate=False)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_fc2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             x = x + f
 
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         if return_features:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -49,7 +49,7 @@ class DinoMLP(nn.Module):
     def __call__(self, x):
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         norm = jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6, None)
         x = x / norm
         return nn.Dense(self.dim_out, dtype=self.dtype, name="out")(x)

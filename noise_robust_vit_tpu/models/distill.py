@@ -75,7 +75,7 @@ class DistillWrapper(nn.Module):
         student_logits, distill_tokens = self.student(
             img, distill_token=token, deterministic=deterministic
         )
-        d = nn.LayerNorm(dtype=self.dtype, name="distill_norm")(distill_tokens)
+        d = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="distill_norm")(distill_tokens)
         distill_logits = nn.Dense(
             self.student.num_classes, dtype=self.dtype, name="distill_head"
         )(d)

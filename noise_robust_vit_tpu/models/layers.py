@@ -59,9 +59,9 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -92,7 +92,7 @@ class Attention(nn.Module):
     def __call__(self, x, *, context=None, mask=None, deterministic: bool = True):
         inner = self.heads * self.dim_head
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         context = x if context is None else context
 
         b, n = x.shape[0], x.shape[1]
@@ -171,7 +171,7 @@ class Transformer(nn.Module):
             )(x, deterministic=deterministic) + x
             self.sow("intermediates", "block_out", x)
         if self.final_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -235,15 +235,20 @@ class SqueezeExcite(nn.Module):
 
     channels: int
     rd_ratio: float = 1.0 / 16
-    rd_divisor: int = 8
+    rd_divisor: Optional[int] = None
     gate: Callable = jax.nn.sigmoid
     act: Callable = jax.nn.relu
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        rd = int(self.channels * self.rd_ratio)
-        rd = max(self.rd_divisor, (rd + self.rd_divisor // 2) // self.rd_divisor * self.rd_divisor)
+        # reference: rd_channels = round(in_chs * rd_ratio) — no divisor
+        # rounding (ref utils.py:1165)
+        if self.rd_divisor is None:
+            rd = round(self.channels * self.rd_ratio)
+        else:
+            rd = int(self.channels * self.rd_ratio)
+            rd = max(self.rd_divisor, (rd + self.rd_divisor // 2) // self.rd_divisor * self.rd_divisor)
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(rd, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(s)
         s = self.act(s)

@@ -87,12 +87,12 @@ class LocalViT(nn.Module):
             )(x, deterministic=deterministic) + x
             # FFN excludes the CLS token (ref :19-27)
             cls_t, patches = x[:, :1], x[:, 1:]
-            pn = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_ff_norm")(patches)
+            pn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_ff_norm")(patches)
             patches = patches + _LocalFF(
                 self.dim, self.mlp_dim, self.dropout, dtype=self.dtype,
                 name=f"layers_{i}_ff",
             )(pn, deterministic=deterministic)
             x = jnp.concatenate([cls_t, patches], axis=1)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x[:, 0])
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -118,7 +118,7 @@ class MAE(nn.Module):
                 self.decoder_dim, self.decoder_dim * 4, dtype=self.dtype,
                 name=f"decoder_{i}_ff",
             )(x, deterministic=deterministic) + x
-        x = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")(x)
 
         decoded_masked = jnp.take_along_axis(x, masked_indices[..., None], axis=1)
         pred = nn.Dense(ph * pw * c, dtype=self.dtype, name="to_pixels")(decoded_masked)

@@ -62,14 +62,14 @@ class _MBConv(nn.Module):
         y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="expand")(x)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(
             hidden, (3, 3), strides=(stride, stride), padding=1,
             feature_group_count=hidden, dtype=self.dtype, name="dwconv",
         )(y)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn2")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = _SqueezeExcitation(
             hidden, self.shrinkage_rate, dtype=self.dtype, name="se"
         )(y)
@@ -156,7 +156,7 @@ class _FeedForward(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         inner = int(self.dim * self.mult)
         x = nn.Dense(inner, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -202,12 +202,12 @@ class MaxViT(nn.Module):
                 b, h, wd, d = x.shape
 
                 def _attn_ff(xw, tag):
-                    xn = nn.LayerNorm(dtype=self.dtype, name=f"block{blk}_{tag}_norm1")(xw)
+                    xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"block{blk}_{tag}_norm1")(xw)
                     xw = xw + _WindowAttention(
                         dim_out, self.dim_head, w, self.dropout, self.robust,
                         dtype=self.dtype, name=f"block{blk}_{tag}_attn",
                     )(xn, deterministic=deterministic)
-                    xn = nn.LayerNorm(dtype=self.dtype, name=f"block{blk}_{tag}_norm2")(xw)
+                    xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"block{blk}_{tag}_norm2")(xw)
                     return xw + _FeedForward(
                         dim_out, dropout=self.dropout, dtype=self.dtype,
                         name=f"block{blk}_{tag}_ff",
@@ -229,7 +229,7 @@ class MaxViT(nn.Module):
                 blk += 1
 
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         if return_features:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -60,7 +60,7 @@ class _NestTransformer(nn.Module):
             xn = _ChannelLN(self.dim, dtype=self.dtype, name=f"b{i}_norm2")(x)
             f = nn.Conv(self.dim * self.mlp_mult, (1, 1), dtype=self.dtype,
                         name=f"b{i}_ff1")(xn)
-            f = nn.gelu(f)
+            f = nn.gelu(f, approximate=False)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name=f"b{i}_ff2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

@@ -58,7 +58,7 @@ class _Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(self.hidden, dtype=self.dtype, **_dense_init, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out, dtype=self.dtype, **_dense_init, name="fc2")(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -118,12 +118,12 @@ class ConvBlockSE(nn.Module):
         side = int(round(n**0.5))
         y = x.reshape(b, side, side, c)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(
             self.dim, (3, 3), padding=1, feature_group_count=self.dim,
             dtype=self.dtype, name="dwconv",
         )(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = SqueezeExcite(self.dim, rd_ratio=0.25, dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv2")(y)
         return y.reshape(b, n, c)
@@ -147,6 +147,9 @@ class PatchConvnet(nn.Module):
     depth_token_only: int = 1
     mlp_ratio_clstk: float = 3.0
     init_scale: float = 1e-4
+    # torch nn.LayerNorm default; the size builders pass 1e-6
+    # (ref patch_convnet.py:494 norm_layer=partial(nn.LayerNorm, eps=1e-6))
+    norm_eps: float = 1e-5
     dpr_constant: bool = True
     multiclass: bool = False
     robust: bool = False
@@ -158,7 +161,7 @@ class PatchConvnet(nn.Module):
         # ConvStem (ref :277-311): 4× stride-2 conv3x3 with GELU between
         for i, ch in enumerate((ed // 8, ed // 4, ed // 2, ed)):
             if i:
-                x = nn.gelu(x)
+                x = nn.gelu(x, approximate=False)
             x = nn.Conv(
                 ch, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                 dtype=self.dtype, name=f"stem{i}",
@@ -175,7 +178,7 @@ class PatchConvnet(nn.Module):
             gamma = self.param(
                 f"gamma_1_{i}", nn.initializers.constant(self.init_scale), (ed,)
             )
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm1_{i}")(x)
+            h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name=f"norm1_{i}")(x)
             h = ConvBlockSE(ed, dtype=self.dtype, name=f"conv_block_{i}")(h)
             x = x + DropPath(dpr[i])(
                 gamma.astype(h.dtype) * h, deterministic=deterministic
@@ -193,7 +196,7 @@ class PatchConvnet(nn.Module):
                 f"tok_gamma_2_{i}", nn.initializers.constant(self.init_scale), (ed,)
             )
             u = jnp.concatenate([cls_tokens, x], axis=1)
-            u = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"tok_norm1_{i}")(u)
+            u = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name=f"tok_norm1_{i}")(u)
             att = LearnedAggregationLayer(
                 ed, num_heads=self.num_heads, num_queries=nq,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
@@ -202,7 +205,7 @@ class PatchConvnet(nn.Module):
                 name=f"tok_attn_{i}",
             )(u, deterministic=deterministic)
             cls_tokens = cls_tokens + g1.astype(att.dtype) * att
-            m = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"tok_norm2_{i}")(cls_tokens)
+            m = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name=f"tok_norm2_{i}")(cls_tokens)
             m = _Mlp(
                 int(ed * self.mlp_ratio_clstk), ed, drop=self.drop_rate,
                 dtype=self.dtype, name=f"tok_mlp_{i}",
@@ -210,7 +213,7 @@ class PatchConvnet(nn.Module):
             cls_tokens = cls_tokens + g2.astype(m.dtype) * m
 
         x = jnp.concatenate([cls_tokens, x], axis=1)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
 
         if not self.multiclass:
             feat = x[:, 0]
@@ -235,6 +238,7 @@ def _builder(embed_dim, depth, **defaults):
         cfg = dict(
             patch_size=16, embed_dim=embed_dim, depth=depth, num_heads=1,
             qkv_bias=True, depth_token_only=1, mlp_ratio_clstk=3.0,
+            norm_eps=1e-6,
         )
         cfg.update(defaults)
         cfg.update(kw)

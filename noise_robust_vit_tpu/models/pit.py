@@ -92,5 +92,5 @@ class PiT(nn.Module):
                 x = _Pool(dim, dtype=self.dtype, name=f"pool{ind}")(x)
                 dim *= 2
 
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x[:, 0])
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -38,7 +38,7 @@ class _Attention(nn.Module):
         h = self.heads
         inner = h * self.dim_head
         b, n, _ = x.shape
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(xn)
         q, k, v = (
             t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
@@ -65,9 +65,9 @@ class _FF(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.dim * self.mult, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
@@ -161,12 +161,12 @@ class RegionViT(nn.Module):
         if self.tokenize_local_3_conv:
             x = nn.Conv(init_dim, (3, 3), strides=(2, 2), padding=1,
                         dtype=self.dtype, name="local_enc0")(img)
-            x = nn.LayerNorm(dtype=self.dtype, name="local_ln0")(x)
-            x = nn.gelu(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="local_ln0")(x)
+            x = nn.gelu(x, approximate=False)
             x = nn.Conv(init_dim, (3, 3), strides=(2, 2), padding=1,
                         dtype=self.dtype, name="local_enc1")(x)
-            x = nn.LayerNorm(dtype=self.dtype, name="local_ln1")(x)
-            x = nn.gelu(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="local_ln1")(x)
+            x = nn.gelu(x, approximate=False)
             local_tokens = nn.Conv(init_dim, (3, 3), padding=1,
                                    dtype=self.dtype, name="local_enc2")(x)
         else:
@@ -208,5 +208,5 @@ class RegionViT(nn.Module):
             current = dim
 
         x = jnp.mean(region_tokens, axis=(1, 2))
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

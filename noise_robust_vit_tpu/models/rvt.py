@@ -80,7 +80,7 @@ class RvT(nn.Module):
         inner = self.heads * self.dim_head
 
         for i in range(self.depth):
-            xn = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm1")(x)
+            xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm1")(x)
             if self.use_ds_conv:
                 # SpatialConv query: depthwise+pointwise conv on the grid,
                 # linear on the CLS token (ref :67-82)
@@ -130,18 +130,18 @@ class RvT(nn.Module):
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
             x = x + out
 
-            xn = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_norm2")(x)
+            xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"l{i}_norm2")(x)
             if self.use_glu:
                 f = nn.Dense(self.mlp_dim * 2, dtype=self.dtype, name=f"l{i}_ff1")(xn)
                 val, gates = jnp.split(f, 2, axis=-1)
-                f = nn.gelu(gates) * val
+                f = nn.gelu(gates, approximate=False) * val
             else:
                 f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"l{i}_ff1")(xn)
-                f = nn.gelu(f)
+                f = nn.gelu(f, approximate=False)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"l{i}_ff2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             x = x + f
 
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x[:, 0])
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

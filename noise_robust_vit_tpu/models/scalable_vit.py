@@ -116,7 +116,7 @@ class _ConvFF(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Conv(self.dim * self.mult, (1, 1), dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -190,5 +190,5 @@ class ScalableViT(nn.Module):
                             dtype=self.dtype, name=f"s{s}_down")(x)
 
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -72,8 +72,8 @@ class _DSSA(nn.Module):
 
         # prenorm + GELU then a head-mixing projection to window q/k
         # (ref :102-108: LN over dh, GELU, Conv1d over the h·dh axis)
-        wt_in = nn.LayerNorm(dtype=self.dtype, name="wt_norm")(wtok)
-        wt_in = nn.gelu(wt_in)
+        wt_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="wt_norm")(wtok)
+        wt_in = nn.gelu(wt_in, approximate=False)
         flat = wt_in.transpose(0, 2, 1, 3).reshape(b, num_windows, heads * dh)
         wqk = nn.Dense(2 * heads * dh, dtype=self.dtype, name="wt_to_qk")(flat)
         wqk = wqk.reshape(b, num_windows, heads, 2 * dh).transpose(0, 2, 1, 3)
@@ -142,7 +142,7 @@ class SepViT(nn.Module):
                                 name=f"s{ind}_b{d}_norm2")(x)
                 f = nn.Conv(dim_out * self.ff_mult, (1, 1), dtype=self.dtype,
                             name=f"s{ind}_b{d}_ff1")(xn)
-                f = nn.gelu(f)
+                f = nn.gelu(f, approximate=False)
                 f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
                 f = nn.Conv(dim_out, (1, 1), dtype=self.dtype,
                             name=f"s{ind}_b{d}_ff2")(f)
@@ -152,5 +152,5 @@ class SepViT(nn.Module):
                 x = _ChannelLN(dim_out, dtype=self.dtype, name=f"s{ind}_out_norm")(x)
 
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

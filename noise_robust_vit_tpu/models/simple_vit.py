@@ -53,7 +53,7 @@ class SimpleViT(nn.Module):
             robust=self.robust,
             dtype=self.dtype,
         )
-        self.head_norm = nn.LayerNorm(dtype=self.dtype)
+        self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.linear_head = nn.Dense(self.num_classes, dtype=self.dtype)
 
     def __call__(self, img, *, deterministic: bool = True, return_features: bool = False):

@@ -221,7 +221,7 @@ class _MLP(nn.Module):
             self.hidden, kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.normal(1e-6), dtype=self.dtype, name="fc1",
         )(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),

@@ -97,5 +97,5 @@ class T2TViT(nn.Module):
             dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -60,7 +60,7 @@ class MLPBlock(nn.Module):
             self.mlp_dim, kernel_init=init,
             bias_init=nn.initializers.normal(1e-6), dtype=self.dtype, name="fc1",
         )(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             self.out_dim, kernel_init=init,

@@ -52,9 +52,9 @@ class ViT(nn.Module):
             raise ValueError("pool type must be either cls or mean")
         self.num_patches = (ih // ph) * (iw // pw)
         # lucidrains patch embedding: Rearrange → LN → Linear → LN
-        self.patch_norm_in = nn.LayerNorm(dtype=self.dtype)
+        self.patch_norm_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.patch_proj = nn.Dense(self.dim, dtype=self.dtype)
-        self.patch_norm_out = nn.LayerNorm(dtype=self.dtype)
+        self.patch_norm_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.pos_embedding = self.param(
             "pos_embedding", trunc_normal_init(0.02), (1, self.num_patches + 1, self.dim)
         )
@@ -83,7 +83,7 @@ class ViT(nn.Module):
             )
             for i in range(self.depth)
         ]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype)
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.mlp_head = nn.Dense(self.num_classes, dtype=self.dtype)
 
     def raw_patches(self, img):

@@ -45,7 +45,7 @@ __all__ = [
 
 
 def _head(x, num_classes, dtype, name="mlp_head"):
-    x = nn.LayerNorm(dtype=dtype, name=f"{name}_norm")(x)
+    x = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=f"{name}_norm")(x)
     return nn.Dense(num_classes, dtype=dtype, name=f"{name}_fc")(x)
 
 
@@ -363,7 +363,7 @@ class PatchMerger(nn.Module):
         q = self.param(
             "queries", nn.initializers.normal(1.0), (self.num_tokens_out, self.dim)
         )
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         sim = jnp.einsum("md,bnd->bmn", q.astype(xn.dtype), xn) * (self.dim**-0.5)
         attn = jax.nn.softmax(sim, axis=-1)
         return jnp.einsum("bmn,bnd->bmd", attn, x)
@@ -521,7 +521,7 @@ class SmallDatasetViT(nn.Module):
         x = jnp.concatenate(shifted, axis=-1)  # [B, H, W, 5C]
         x = x.reshape(b, h // ph, ph, w // pw, pw, 5 * c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, -1, ph * pw * 5 * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="spt_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="spt_norm")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="spt_proj")(x)
 
         n = x.shape[1]
@@ -540,7 +540,7 @@ class SmallDatasetViT(nn.Module):
 
         for i in range(self.depth):
             # LSA (ref :37-69): learned log-temperature + diagonal mask
-            xa = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            xa = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}")(x)
             temp = self.param(
                 f"temperature_{i}",
                 nn.initializers.constant(math.log(self.dim_head**-0.5)),
@@ -565,9 +565,9 @@ class SmallDatasetViT(nn.Module):
             out = nn.Dense(self.dim, dtype=self.dtype, name=f"to_out_{i}")(out)
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
             x = x + out
-            xf = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            xf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_{i}_fc1")(xf)
-            f1 = nn.gelu(f1)
+            f1 = nn.gelu(f1, approximate=False)
             f1 = nn.Dropout(self.dropout)(f1, deterministic=deterministic)
             f2 = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_fc2")(f1)
             f2 = nn.Dropout(self.dropout)(f2, deterministic=deterministic)
@@ -624,7 +624,7 @@ class _MemAttention(nn.Module):
     @nn.compact
     def __call__(self, x, *, attn_mask=None, memories=None, deterministic=True):
         inner = self.heads * self.dim_head
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x_kv = x
         if memories is not None:
             mem = memories
@@ -697,7 +697,7 @@ class LearnableMemoryViT(nn.Module):
             )
             for i in range(self.depth)
         ]
-        self.head_norm = nn.LayerNorm(dtype=self.dtype)
+        self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.head = nn.Dense(self.num_classes, dtype=self.dtype)
 
     def img_to_tokens(self, img, deterministic=True):
@@ -770,5 +770,5 @@ class Adapter(nn.Module):
             memories=memories,
             deterministic=deterministic,
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="adapter_norm")(out[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="adapter_norm")(out[:, 0])
         return nn.Dense(self.num_classes, dtype=self.dtype, name="adapter_head")(x)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import collections.abc
+import functools
 import itertools
 
 import jax
@@ -47,7 +48,7 @@ def pair(t):
 _ACTS = {
     "relu": jax.nn.relu,
     "relu6": jax.nn.relu6,
-    "gelu": jax.nn.gelu,
+    "gelu": functools.partial(jax.nn.gelu, approximate=False),
     "silu": jax.nn.silu,
     "swish": jax.nn.silu,
     "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
