@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import gelu
+
 from ..utils import pair
 
 __all__ = ["ATSViT"]
@@ -131,7 +133,7 @@ class ATSViT(nn.Module):
             x = x + out
             xf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_{i}_fc1")(xf)
-            f = nn.gelu(f, approximate=False)
+            f = gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_fc2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

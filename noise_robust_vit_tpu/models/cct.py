@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops import gelu
+
 from .layers import Attention, DropPath
 
 __all__ = [
@@ -100,7 +102,7 @@ class _TransformerClassifier(nn.Module):
             x = x + sd(a, deterministic=deterministic)
             f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"block{i}_norm2")(x)
             f = nn.Dense(hidden, dtype=self.dtype, name=f"block{i}_fc1")(f)
-            f = nn.gelu(f, approximate=False)
+            f = gelu(f)
             f = nn.Dropout(self.dropout_rate)(f, deterministic=deterministic)
             f = nn.Dense(self.embedding_dim, dtype=self.dtype, name=f"block{i}_fc2")(f)
             f = nn.Dropout(self.dropout_rate)(f, deterministic=deterministic)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import to_ntuple
 from .cvt import _ChannelLN
 
@@ -111,7 +111,7 @@ class _ConvFF(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         y = _ChannelLN(self.dim, dtype=self.dtype, name="norm")(x)
         y = nn.Conv(self.dim * 4, (1, 1), dtype=self.dtype, name="fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(y)
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 
 __all__ = ["CvT"]
 
@@ -159,7 +159,7 @@ class CvT(nn.Module):
                                 name=f"s{s}_b{d}_norm2")(x)
                 f = nn.Conv(cfg["emb_dim"] * cfg["mlp_mult"], (1, 1),
                             dtype=self.dtype, name=f"s{s}_b{d}_ff1")(xn)
-                f = nn.gelu(f, approximate=False)
+                f = gelu(f)
                 f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
                 f = nn.Conv(cfg["emb_dim"], (1, 1), dtype=self.dtype,
                             name=f"s{s}_b{d}_ff2")(f)

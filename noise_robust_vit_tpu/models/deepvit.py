@@ -14,7 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import pair
 
 __all__ = ["DeepViT"]
@@ -103,7 +103,7 @@ class DeepViT(nn.Module):
             )(hpre, deterministic=deterministic)
             fpre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_{i}_fc1")(fpre)
-            f = nn.gelu(f, approximate=False)
+            f = gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_fc2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn, struct
 
+from ..ops import gelu
+
 __all__ = [
     "DinoMLP",
     "DinoNet",
@@ -49,7 +51,7 @@ class DinoMLP(nn.Module):
     def __call__(self, x):
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(x)
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x)
         norm = jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6, None)
         x = x / norm
         return nn.Dense(self.dim_out, dtype=self.dtype, name="out")(x)

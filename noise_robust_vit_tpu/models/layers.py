@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import gelu
+
 from .. import ops
 from ..utils import trunc_normal_init
 
@@ -61,7 +63,7 @@ class FeedForward(nn.Module):
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 
 __all__ = ["MaxViT"]
 
@@ -62,14 +62,14 @@ class _MBConv(nn.Module):
         y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="expand")(x)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Conv(
             hidden, (3, 3), strides=(stride, stride), padding=1,
             feature_group_count=hidden, dtype=self.dtype, name="dwconv",
         )(y)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn2")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = _SqueezeExcitation(
             hidden, self.shrinkage_rate, dtype=self.dtype, name="se"
         )(y)
@@ -156,7 +156,7 @@ class _FeedForward(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         inner = int(self.dim * self.mult)
         x = nn.Dense(inner, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import to_ntuple
 from .cvt import _ChannelLN
 
@@ -60,7 +60,7 @@ class _NestTransformer(nn.Module):
             xn = _ChannelLN(self.dim, dtype=self.dtype, name=f"b{i}_norm2")(x)
             f = nn.Conv(self.dim * self.mlp_mult, (1, 1), dtype=self.dtype,
                         name=f"b{i}_ff1")(xn)
-            f = nn.gelu(f, approximate=False)
+            f = gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name=f"b{i}_ff2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

@@ -27,7 +27,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import trunc_normal_init
 from .layers import DropPath, SqueezeExcite
 
@@ -58,7 +58,7 @@ class _Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(self.hidden, dtype=self.dtype, **_dense_init, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out, dtype=self.dtype, **_dense_init, name="fc2")(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -118,12 +118,12 @@ class ConvBlockSE(nn.Module):
         side = int(round(n**0.5))
         y = x.reshape(b, side, side, c)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Conv(
             self.dim, (3, 3), padding=1, feature_group_count=self.dim,
             dtype=self.dtype, name="dwconv",
         )(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = SqueezeExcite(self.dim, rd_ratio=0.25, dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv2")(y)
         return y.reshape(b, n, c)
@@ -161,7 +161,7 @@ class PatchConvnet(nn.Module):
         # ConvStem (ref :277-311): 4× stride-2 conv3x3 with GELU between
         for i, ch in enumerate((ed // 8, ed // 4, ed // 2, ed)):
             if i:
-                x = nn.gelu(x, approximate=False)
+                x = gelu(x)
             x = nn.Conv(
                 ch, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                 dtype=self.dtype, name=f"stem{i}",

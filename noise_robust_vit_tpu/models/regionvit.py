@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import to_ntuple
 
 __all__ = ["RegionViT"]
@@ -67,7 +67,7 @@ class _FF(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.dim * self.mult, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
@@ -162,11 +162,11 @@ class RegionViT(nn.Module):
             x = nn.Conv(init_dim, (3, 3), strides=(2, 2), padding=1,
                         dtype=self.dtype, name="local_enc0")(img)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="local_ln0")(x)
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x)
             x = nn.Conv(init_dim, (3, 3), strides=(2, 2), padding=1,
                         dtype=self.dtype, name="local_enc1")(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="local_ln1")(x)
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x)
             local_tokens = nn.Conv(init_dim, (3, 3), padding=1,
                                    dtype=self.dtype, name="local_enc2")(x)
         else:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import pair
 
 __all__ = ["RvT"]
@@ -134,10 +134,10 @@ class RvT(nn.Module):
             if self.use_glu:
                 f = nn.Dense(self.mlp_dim * 2, dtype=self.dtype, name=f"l{i}_ff1")(xn)
                 val, gates = jnp.split(f, 2, axis=-1)
-                f = nn.gelu(gates, approximate=False) * val
+                f = gelu(gates) * val
             else:
                 f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"l{i}_ff1")(xn)
-                f = nn.gelu(f, approximate=False)
+                f = gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"l{i}_ff2")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..utils import to_ntuple
 from .cvt import _ChannelLN
 
@@ -73,7 +73,7 @@ class _DSSA(nn.Module):
         # prenorm + GELU then a head-mixing projection to window q/k
         # (ref :102-108: LN over dh, GELU, Conv1d over the h·dh axis)
         wt_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="wt_norm")(wtok)
-        wt_in = nn.gelu(wt_in, approximate=False)
+        wt_in = gelu(wt_in)
         flat = wt_in.transpose(0, 2, 1, 3).reshape(b, num_windows, heads * dh)
         wqk = nn.Dense(2 * heads * dh, dtype=self.dtype, name="wt_to_qk")(flat)
         wqk = wqk.reshape(b, num_windows, heads, 2 * dh).transpose(0, 2, 1, 3)
@@ -142,7 +142,7 @@ class SepViT(nn.Module):
                                 name=f"s{ind}_b{d}_norm2")(x)
                 f = nn.Conv(dim_out * self.ff_mult, (1, 1), dtype=self.dtype,
                             name=f"s{ind}_b{d}_ff1")(xn)
-                f = nn.gelu(f, approximate=False)
+                f = gelu(f)
                 f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
                 f = nn.Conv(dim_out, (1, 1), dtype=self.dtype,
                             name=f"s{ind}_b{d}_ff2")(f)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops import robust_softmax
+from ..ops import robust_softmax, gelu
 from ..ops.windows import (
     cyclic_shift,
     relative_coords_table,
@@ -221,7 +221,7 @@ class _MLP(nn.Module):
             self.hidden, kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.normal(1e-6), dtype=self.dtype, name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),

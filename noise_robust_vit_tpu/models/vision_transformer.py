@@ -24,6 +24,7 @@ from typing import Any, Callable, NamedTuple, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import gelu
 from ..utils import trunc_normal_init
 from .layers import Attention, DropPath
 
@@ -60,7 +61,7 @@ class MLPBlock(nn.Module):
             self.mlp_dim, kernel_init=init,
             bias_init=nn.initializers.normal(1e-6), dtype=self.dtype, name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             self.out_dim, kernel_init=init,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import (
+    gelu,
     posemb_sincos_1d,
     posemb_sincos_3d,
     robust_softmax,
@@ -567,7 +568,7 @@ class SmallDatasetViT(nn.Module):
             x = x + out
             xf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             f1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_{i}_fc1")(xf)
-            f1 = nn.gelu(f1, approximate=False)
+            f1 = gelu(f1)
             f1 = nn.Dropout(self.dropout)(f1, deterministic=deterministic)
             f2 = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_fc2")(f1)
             f2 = nn.Dropout(self.dropout)(f2, deterministic=deterministic)

@@ -3,6 +3,7 @@
 Pure-JAX reference implementations with Pallas fast paths; maps the
 reference's ops layer (ref vit_pytorch_robust/utils.py — SURVEY.md §2.1)."""
 
+from .activations import gelu
 from .attention import (
     attention_weights,
     dot_product_attention,
@@ -19,6 +20,7 @@ from .regularizers import cutmix, drop_path, patch_dropout_indices, rand_bbox
 from .sinkhorn import robust_softmax, sinkhorn_attention, sinkhorn_normalize
 
 __all__ = [
+    "gelu",
     "attention_weights",
     "dot_product_attention",
     "set_use_pallas",
