@@ -47,10 +47,14 @@ def use_pallas_default() -> bool:
         return False
 
 
-def pallas_dispatch(robust: bool) -> bool:
-    """Dispatch policy for the GLOBAL fused attention kernel: auto uses it
-    only for the Sinkhorn path (XLA's own fusion wins for plain softmax in
-    full models); ``set_use_pallas(True/False)`` overrides for both modes."""
+def pallas_dispatch(robust: bool, n: int | None = None) -> bool:
+    """Dispatch policy for the GLOBAL fused attention kernel: auto uses it for
+    only for the Sinkhorn path. For PLAIN softmax the fused kernel wins in
+    isolation (v5e, B=256 H=12 N=196 D=64, fwd+bwd ×12 chain: 73ms fused vs
+    103ms XLA) yet LOSES inside the full model (SimpleViT-B train step 320ms
+    vs 307ms) — whole-graph XLA overlaps the attention HBM traffic with
+    neighboring matmuls, which the opaque kernel boundary blocks.
+    ``set_use_pallas(True/False)`` overrides for both modes."""
     if _USE_PALLAS is not None:
         return _USE_PALLAS
     return robust and use_pallas_default()
@@ -121,7 +125,7 @@ def dot_product_attention(
     batch dims). Returns the same dtype as ``v``.
     """
     if use_pallas is None:
-        use_pallas = pallas_dispatch(robust)
+        use_pallas = pallas_dispatch(robust, q.shape[-2])
     if use_pallas:
         from .pallas import sinkhorn_attention as _pk
 

@@ -44,7 +44,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row, g):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *vec_ref, scale, n, robust, iters,
+            final_row, g):
     # Vector-form Sinkhorn (see ops/sinkhorn.py::sinkhorn_scalings): the
     # post-softmax matrix is only ever rescaled as diag(a)·attn·diag(b), so
     # the kernel iterates scaling vectors and folds them into the output —
@@ -52,18 +53,24 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, robust, iters, final_row, g
     # ``g`` (batch·head) rows are processed per program (unrolled) to
     # amortize per-program overhead — ~20% over one-head programs at ViT-B.
     for gi in range(g):
-        out = _single_head_math(
+        res = _single_head_math(
             q_ref[gi], k_ref[gi], v_ref[gi],
             scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+            want_vecs=bool(vec_ref),
         )
+        if vec_ref:
+            out, vecs = res
+            vec_ref[0][gi] = vecs
+        else:
+            out = res
         o_ref[gi] = out.astype(o_ref.dtype)
 
 
-def _pick_group(bh: int, n_pad: int, d: int, arrays: int) -> int:
+def _pick_group(bh: int, n_pad: int, d: int, arrays: int,
+                budget: int = 12 * 1024 * 1024) -> int:
     """Largest divisor of ``bh`` whose block working set fits a VMEM budget.
     Mosaic's scoped allocation keeps each unrolled head's f32 N×N scratch
     live separately, so the scratch is accounted PER HEAD."""
-    budget = 12 * 1024 * 1024
     per_head = n_pad * n_pad * 4 + 2 * arrays * n_pad * d * 2
     for g in (16, 12, 8, 6, 4, 3, 2, 1):
         if bh % g:
@@ -75,9 +82,11 @@ def _pick_group(bh: int, n_pad: int, d: int, arrays: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "robust", "sinkhorn_iters", "final_row_norm"),
+    static_argnames=("scale", "robust", "sinkhorn_iters", "final_row_norm",
+                     "want_vecs"),
 )
-def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
+def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm,
+                          want_vecs=False):
     *batch, n, d = q.shape
     dv = v.shape[-1]
     bh = 1
@@ -97,7 +106,13 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
         k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    g = _pick_group(bh, n_pad, max(d_pad, dv_pad), arrays=4)
+    n_vecs = (max(sinkhorn_iters - 1, 0) + int(final_row_norm)
+              + sinkhorn_iters) if robust else 0
+    want_vecs = want_vecs and n_vecs > 0
+    # the residual-vector output costs Mosaic extra scoped VMEM per head
+    # (concat temporaries) — leave headroom via a smaller group budget
+    g = _pick_group(bh, n_pad, max(d_pad, dv_pad), arrays=4,
+                    budget=12 * 1024 * 1024)
     kernel = functools.partial(
         _kernel,
         scale=scale,
@@ -108,7 +123,17 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
         g=g,
     )
     flops_norm = n_pad * n_pad * (4 + (4 * sinkhorn_iters if robust else 0))
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (g, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((bh, n_pad, dv_pad), v.dtype)
+    if want_vecs:
+        out_specs = (out_specs, pl.BlockSpec(
+            (g, n_vecs, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bh, n_vecs, n_pad), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(bh // g,),
         in_specs=[
@@ -116,18 +141,19 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
             pl.BlockSpec((g, n_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (g, n_pad, dv_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, dv_pad), v.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=bh * (2 * n_pad * n_pad * (d_pad + dv_pad) + flops_norm),
             bytes_accessed=bh * n_pad * (2 * d_pad + 2 * dv_pad) * q.dtype.itemsize,
             transcendentals=bh * n_pad * n_pad,
         ),
     )(q, k, v)
-    out = out[:, :n, :dv]
-    return out.reshape(*batch, n, dv)
+    out, vecs = res if want_vecs else (res, None)
+    out = out[:, :n, :dv].reshape(*batch, n, dv)
+    if want_vecs:
+        return out, vecs.reshape(*batch, n_vecs, n_pad)
+    return out
 
 
 def _reference_attention(q, k, v, scale, robust, iters, final_row):
@@ -152,7 +178,8 @@ def _reference_attention(q, k, v, scale, robust, iters, final_row):
     ).astype(v.dtype)
 
 
-def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
+def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row,
+                      want_vecs=False):
     """Per-(batch,head) attention math in f32, shared by the forward kernel
     and the backward kernel (which differentiates it via jax.vjp *inside* the
     kernel body — the vjp traces to plain dots/reductions Mosaic lowers)."""
@@ -184,14 +211,18 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
 
         b = jnp.ones((1, n_pad), jnp.float32)
         a = jnp.ones((n_pad, 1), jnp.float32)
+        a_cols, b_cols = [], []
         for i in range(iters):
             # i == 0: rowsum(softmax) ≡ 1 as a function of the logits (value
             # AND gradient), so the first row normalization is the identity
             if i > 0:
                 a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+                a_cols.append(a)
             b = _recip(jnp.sum(attn * a, axis=-2, keepdims=True))
+            b_cols.append(b.reshape(n_pad, 1))
         if final_row:
             a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+            a_cols.append(a)
         vf = vf * b.reshape(n_pad, 1)
 
     out = jax.lax.dot_general(
@@ -201,10 +232,19 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row):
     )
     if robust:
         out = out * a
+        if want_vecs:
+            # [Ka+Kb, N] stack of the (tiny) scaling vectors — ROW-major so
+            # the lane axis is N (a column layout would pad every vector to
+            # 128 lanes and blow the scoped-VMEM budget); saved as residuals
+            # so the backward kernel skips the forward replay
+            return out, jnp.concatenate(
+                [t.reshape(1, n_pad) for t in a_cols + b_cols], axis=0
+            )
     return out
 
 
-def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
+def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
+                     vecs=None):
     """Hand-derived backward (per head, recompute-in-VMEM).
 
     Forward is ``O = diag(a)·A·diag(b)·V`` with A = masked softmax and (a, b)
@@ -268,25 +308,35 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
-    # forward vector iteration, storing every a_t [N,1] / b_t [1,N];
+    # scaling vectors: restored from the forward residuals when available
+    # (saves the full replay — ~4 N×N mul-reduce passes), otherwise replayed.
     # a_0 ≡ 1 (first row norm of a row softmax is the identity in value and
-    # gradient), so its reverse node is skipped below
-    bs = [jnp.ones((1, n_pad), jnp.float32)]
-    as_ = []
-    for i in range(iters):
-        if i == 0:
-            a_t = jnp.ones((n_pad, 1), jnp.float32)
-        else:
-            a_t = _recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True))
-        as_.append(a_t)
-        b_t = _recip(jnp.sum(attn * a_t, axis=-2, keepdims=True))
-        bs.append(b_t)
-    if final_row:
-        as_.append(_recip(jnp.sum(attn * bs[-1], axis=-1, keepdims=True)))
+    # gradient), so its reverse node is skipped below. Lists are COLUMN [N,1]
+    # vectors: as_ = [a_0 .. a_{T-1} (, a_fin)], bs = [1, b_1 .. b_T].
+    ones_col = jnp.ones((n_pad, 1), jnp.float32)
+    if vecs is not None:
+        ka = max(iters - 1, 0) + int(final_row)
+        as_ = [ones_col] + [vecs[j].reshape(n_pad, 1) for j in range(ka)]
+        bs = [ones_col] + [vecs[ka + j].reshape(n_pad, 1) for j in range(iters)]
+    else:
+        bs = [ones_col]
+        as_ = []
+        for i in range(iters):
+            if i == 0:
+                a_t = ones_col
+            else:
+                a_t = _recip(jnp.sum(attn * bs[-1].reshape(1, n_pad),
+                                     axis=-1, keepdims=True))
+            as_.append(a_t)
+            bs.append(_recip(jnp.sum(attn * a_t, axis=-2,
+                                     keepdims=True)).reshape(n_pad, 1))
+        if final_row:
+            as_.append(_recip(jnp.sum(attn * bs[-1].reshape(1, n_pad),
+                                      axis=-1, keepdims=True)))
     a_fin = as_[-1]
     b_fin = bs[-1]
 
-    bv = b_fin.reshape(n_pad, 1) * vf
+    bv = b_fin * vf
     o_over_a = jax.lax.dot_general(
         attn, bv, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -296,7 +346,7 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
         attn, ag, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # Aᵀ(a⊙G), [N, D]
-    dv = b_fin.reshape(n_pad, 1) * t1
+    dv = b_fin * t1
     # direct dA and vector grads
     dA = (
         a_fin
@@ -304,7 +354,7 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
             gf, vf, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * b_fin
+        * b_fin.reshape(1, n_pad)
     )
     da = jnp.sum(gf * o_over_a, axis=-1, keepdims=True)  # for a_last
     db = jnp.sum(t1 * vf, axis=-1, keepdims=True)  # for b_T, as [N,1]
@@ -315,30 +365,48 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
             return jnp.sum(attn * vec_col, axis=-2, keepdims=True)  # [1,N]
         return jnp.sum(attn * vec_col.reshape(1, n_pad), axis=-1, keepdims=True)
 
-    # reverse the iteration
+    # reverse the iteration. The rank-1 dA contributions (u·vᵀ) are NOT
+    # accumulated into the N×N buffer one at a time — interleaving reductions
+    # with full-matrix read-modify-writes forces a VMEM pass per update.
+    # Instead the loop (only tiny-vector ops + the unavoidable matvec
+    # reductions) collects factor pairs, and their softmax-vjp row terms
+    # come FREE from identities: rowsum((u·vᵀ)⊙A) = u ⊙ (A·v), where A·v is
+    # either the mv() already computed for the chain rule or 1/a_t (the raw
+    # rowsum that produced a_t = recip(A·b_{t-1})). Everything is applied in
+    # ONE fused elementwise traversal at the end.
+    terms = []  # (u [N,1], v [N,1]) pairs: dA += u·vᵀ
+    svec = jnp.zeros((n_pad, 1), jnp.float32)  # Σ_k u_k ⊙ (A·v_k)
     if final_row:
-        # a* = recip(A b_T)
+        # a* = recip(A b_T); A·b_T = 1/a_fin by construction
         dr = -da * a_fin * a_fin  # [N,1]
-        dA = dA + dr * bs[-1]  # rank-1: [N,1]*[1,N]
+        terms.append((dr, bs[-1]))
+        svec = svec + dr / a_fin
         db = db + mv(True, dr).reshape(n_pad, 1)
         da = jnp.zeros_like(da)
     for t in range(iters - 1, -1, -1):
         a_t = as_[t]
         b_t = bs[t + 1]
         # b_t = recip(Aᵀ a_t): db currently holds grad of b_t (as [N,1])
-        dc = -db * (b_t * b_t).reshape(n_pad, 1)  # [N,1] repr of [1,N]
-        dA = dA + a_t * dc.reshape(1, n_pad)  # rank-1: [N,1]*[1,N]
+        dc = -db * (b_t * b_t)  # [N,1] repr of [1,N]
+        m_dc = mv(False, dc)  # A @ dc, [N,1]
+        terms.append((a_t, dc))
+        svec = svec + a_t * m_dc
         if t == 0:
             # a_0 is the constant 1 — its gradient is discarded exactly
             break
-        da = da + mv(False, dc)  # A @ dc → grad into a_t
-        # a_t = recip(A b_{t-1})
+        da = da + m_dc  # grad into a_t
+        # a_t = recip(A b_{t-1}); A·b_{t-1} = 1/a_t
         dr = -da * a_t * a_t
-        dA = dA + dr * bs[t]
+        terms.append((dr, bs[t]))
+        svec = svec + dr / a_t
         db = mv(True, dr).reshape(n_pad, 1)  # grad into b_{t-1}
         da = jnp.zeros_like(da)
 
-    ds = attn * (dA - jnp.sum(dA * attn, axis=-1, keepdims=True))
+    row_term = jnp.sum(dA * attn, axis=-1, keepdims=True) + svec
+    inner = dA - row_term
+    for u, vvec in terms:
+        inner = inner + u * vvec.reshape(1, n_pad)
+    ds = attn * inner
     dq = scale * jax.lax.dot_general(
         ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -350,12 +418,17 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row):
     return dq, dk, dv
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, n,
-                robust, iters, final_row, g):
+def _bwd_kernel(*refs, scale, n, robust, iters, final_row, g, has_vecs):
+    if has_vecs:
+        q_ref, k_ref, v_ref, g_ref, vec_ref, dq_ref, dk_ref, dv_ref = refs
+    else:
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+        vec_ref = None
     for gi in range(g):
         dq, dk, dv = _bwd_math_manual(
             q_ref[gi], k_ref[gi], v_ref[gi], g_ref[gi],
             scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+            vecs=None if vec_ref is None else vec_ref[gi],
         )
         dq_ref[gi] = dq.astype(dq_ref.dtype)
         dk_ref[gi] = dk.astype(dk_ref.dtype)
@@ -365,7 +438,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, n,
 @functools.partial(
     jax.jit, static_argnames=("scale", "robust", "sinkhorn_iters", "final_row_norm")
 )
-def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters, final_row_norm):
+def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters,
+                              final_row_norm, vecs=None):
     *batch, n, d = q.shape
     bh = 1
     for bdim in batch:
@@ -388,14 +462,22 @@ def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters, final_r
             break
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, robust=robust, iters=sinkhorn_iters,
-        final_row=final_row_norm, g=gb,
+        final_row=final_row_norm, g=gb, has_vecs=vecs is not None,
     )
     spec_d = pl.BlockSpec((gb, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_dv = pl.BlockSpec((gb, n_pad, dv_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [spec_d, spec_d, spec_dv, spec_dv]
+    operands = [q, k, v, g]
+    if vecs is not None:
+        vecs = vecs.reshape(bh, -1, n_pad)
+        in_specs.append(pl.BlockSpec(
+            (gb, vecs.shape[1], n_pad), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(vecs)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bh // gb,),
-        in_specs=[spec_d, spec_d, spec_dv, spec_dv],
+        in_specs=in_specs,
         out_specs=(spec_d, spec_d, spec_dv),
         out_shape=(
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
@@ -407,7 +489,7 @@ def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters, final_r
             bytes_accessed=bh * n_pad * (4 * d + 4 * dv_dim) * q.dtype.itemsize,
             transcendentals=bh * n_pad * n_pad,
         ),
-    )(q, k, v, g)
+    )(*operands)
     dq, dk, dv = (t[:, :n, :] for t in (dq, dk, dv))
     return (
         dq.reshape(*batch, n, d),
@@ -422,14 +504,23 @@ def _attention_op(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
 
 
 def _attention_fwd(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
+    if robust:
+        res = _fused_attention_impl(
+            q, k, v, scale, robust, sinkhorn_iters, final_row_norm,
+            want_vecs=True,
+        )
+        if isinstance(res, tuple):
+            out, vecs = res
+            return out, (q, k, v, vecs)
+        return res, (q, k, v, None)
     out = _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm)
-    return out, (q, k, v)
+    return out, (q, k, v, None)
 
 
 def _attention_bwd(scale, robust, sinkhorn_iters, final_row_norm, res, g):
-    q, k, v = res
+    q, k, v, vecs = res
     return _fused_attention_bwd_impl(
-        q, k, v, g, scale, robust, sinkhorn_iters, final_row_norm
+        q, k, v, g, scale, robust, sinkhorn_iters, final_row_norm, vecs
     )
 
 
