@@ -14,10 +14,13 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .fsdp import fsdp_param_shardings, shard_params_fsdp
 from .tp import DEFAULT_TP_RULES, shard_params, tp_param_shardings
 
 __all__ = [
     "batch_sharding",
+    "fsdp_param_shardings",
+    "shard_params_fsdp",
     "local_mesh",
     "make_mesh",
     "replicated",
