@@ -110,6 +110,40 @@ class TestAttention:
             np.testing.assert_allclose(got, expected, atol=5e-4)
 
 
+    def test_pallas_interpret_grads_match_reference(self, rng):
+        """custom_vjp path (incl. the stored-scaling-vector residuals) in
+        interpret mode vs the pure-JAX reference, both schedules + plain."""
+        from noise_robust_vit_tpu.ops.pallas import sinkhorn_attention as pk
+        import unittest.mock as mock
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        q = jax.random.normal(k1, (1, 2, 50, 16), jnp.float32)
+        k = jax.random.normal(k2, (1, 2, 50, 16), jnp.float32)
+        v = jax.random.normal(k3, (1, 2, 50, 16), jnp.float32)
+        cases = [
+            (False, 0, False),
+            (True, 3, True),   # SinkhornAttention schedule
+            (True, 4, False),  # vendored-MHA schedule
+        ]
+        for robust, iters, fr in cases:
+            def fused(q, k, v):
+                return pk.fused_attention(
+                    q, k, v, scale=0.25, robust=robust,
+                    sinkhorn_iters=iters, final_row_norm=fr,
+                ).sum()
+
+            def ref(q, k, v):
+                return pk._reference_attention(
+                    q, k, v, 0.25, robust, iters, fr
+                ).sum()
+
+            with mock.patch.object(pk.pl, "pallas_call", _interpreted(pk.pl.pallas_call)):
+                got = jax.grad(fused, argnums=(0, 1, 2))(q, k, v)
+            want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-4)
+
+
 def _interpreted(pallas_call):
     import functools
 
