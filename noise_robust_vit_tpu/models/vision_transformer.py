@@ -14,6 +14,18 @@ Checkpoint resolution transfer (``interpolate_embeddings``, ref vit.py:
 The vendored-MHA robust schedule is 4 Sinkhorn iterations with no final row
 normalization (ref utils.py:218-224) — different from the inline-model
 schedule; both are reproduced faithfully.
+
+Upstream, this model cannot actually run: the vendored functional MHA feeds
+4-D [B,H,N,D] views (utils.py:567-570) into a 3-D-only ``torch.bmm`` SDPA
+(utils.py:210), calls an unimported ``linear`` (utils.py:579), and its
+``need_weights=False`` return is a bare tensor that the two-value unpack at
+utils.py:572 silently splits along the batch dim. Worse, ``self.robust``
+(utils.py:668) is never read — forward's per-call ``robust=False`` default
+wins, so upstream ``VisionTransformer(robust=True)`` silently runs VANILLA
+attention. This rebuild implements the evident intent (robust ⇒ 4-iteration
+Sinkhorn per head); tests/test_parity.py::TestVisionTransformerParity patches
+exactly these landmines in the reference and verifies logit parity for both
+modes.
 """
 
 from __future__ import annotations

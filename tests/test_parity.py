@@ -534,3 +534,127 @@ class TestPatchConvnetParity:
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
         )
         np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=1e-5)
+
+
+class TestVisionTransformerParity:
+    """Torchvision-style ViT vs ref vit.py — end-to-end check of the vendored
+    MultiheadAttention path (robust = 4 Sinkhorn iters, NO final row norm,
+    ref utils.py:218-224)."""
+
+    @staticmethod
+    def _patched_sdpa(q, k, v, attn_mask=None, dropout_p=None,
+                      need_weights=True, robust=False):
+        """The reference's _scaled_dot_product_attention (utils.py:207-232)
+        with ONLY its two crash landmines fixed to the evident intent
+        (SURVEY.md §8): 3-D-only `torch.bmm` on the 4-D [B,H,N,D] views the
+        vendored MHA produces (utils.py:567-570) → `matmul`; and the
+        dim-less `torch.softmax(attn)` in the vanilla branch → dim=-1. The
+        robust branch (4 row/col division pairs) is byte-for-byte the
+        reference's."""
+        attn = torch.matmul(q, k.transpose(-2, -1))
+        dimension = torch.as_tensor(
+            k.size(-1), dtype=attn.dtype, device=attn.device
+        ).sqrt()
+        attn = attn / dimension
+        if attn_mask is not None:
+            attn = attn.masked_fill(attn_mask, -1e9)
+        if not robust:
+            attn = torch.softmax(attn, dim=-1)
+        else:
+            attn = torch.softmax(attn, dim=-1)
+            for _ in range(4):
+                attn = attn.div(torch.sum(attn, dim=-1, keepdim=True))
+                attn = attn.div(torch.sum(attn, dim=-2, keepdim=True))
+        output = torch.matmul(attn, v)
+        # the caller (utils.py:572) always unpacks two values; the original's
+        # bare `return output` under need_weights=False is landmine #3 (a
+        # batch-2 tensor silently unpacks into two 3-D halves)
+        return output, (attn if need_weights else None)
+
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_forward_logits(self, ref_pkg, robust, monkeypatch):
+        ref_mod = importlib.import_module("vit_pytorch_robust.vit")
+        ref_utils = importlib.import_module("vit_pytorch_robust.utils")
+        monkeypatch.setattr(
+            ref_utils, "_scaled_dot_product_attention", self._patched_sdpa
+        )
+        # landmine #4: utils.py:579 calls bare `linear` (and friends) that
+        # were never imported — the vendored functional path clearly never
+        # ran upstream; supply the obvious torch.nn.functional names
+        import torch.nn.functional as F
+        for fname in ("linear", "softmax", "dropout", "pad"):
+            if not hasattr(ref_utils, fname):
+                monkeypatch.setattr(ref_utils, fname, getattr(F, fname),
+                                    raising=False)
+        # landmine #5: the vendored MultiheadAttention stores self.robust
+        # (utils.py:668) but never reads it — forward() takes a per-call
+        # robust=False that EncoderBlock (vit.py:124) never passes, so
+        # upstream VisionTransformer(robust=True) silently runs VANILLA
+        # attention. Realize the evident intent: default robust=self.robust.
+        orig_fwd = ref_utils.MultiheadAttention.forward
+
+        def fwd(self, *a, **kw):
+            kw.setdefault("robust", self.robust)
+            return orig_fwd(self, *a, **kw)
+
+        monkeypatch.setattr(ref_utils.MultiheadAttention, "forward", fwd)
+        torch.manual_seed(7)
+        cfg = dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+                   hidden_dim=32, mlp_dim=64, num_classes=7)
+        ref = ref_mod.VisionTransformer(robust=robust, **cfg).eval()
+        # the reference zero-inits the classifier head (ref vit.py:304-306) —
+        # re-randomize so parity has signal
+        torch.nn.init.normal_(ref.heads.head.weight, std=0.05)
+        torch.nn.init.normal_(ref.heads.head.bias, std=0.05)
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        ours = models.VisionTransformer(robust=robust, **cfg)
+        enc = {
+            "pos_embedding": _t2j(sd["encoder.pos_embedding"]),
+            "ln": _ln(sd, "encoder.ln"),
+        }
+        for i in range(cfg["num_layers"]):
+            p = f"encoder.layers.encoder_layer_{i}"
+            enc[f"layer_{i}"] = {
+                "ln_1": _ln(sd, f"{p}.ln_1"),
+                "ln_2": _ln(sd, f"{p}.ln_2"),
+                "self_attention": {
+                    "to_qkv": {
+                        "kernel": _t2j(sd[f"{p}.self_attention.in_proj_weight"]).T,
+                        "bias": _t2j(sd[f"{p}.self_attention.in_proj_bias"]),
+                    },
+                    "to_out": {
+                        "kernel": _t2j(sd[f"{p}.self_attention.out_proj.weight"]).T,
+                        "bias": _t2j(sd[f"{p}.self_attention.out_proj.bias"]),
+                    },
+                },
+                "mlp": {
+                    "fc1": _linear(sd, f"{p}.mlp.0"),
+                    "fc2": _linear(sd, f"{p}.mlp.3"),
+                },
+            }
+        params = {
+            "conv_proj": {
+                "kernel": _t2j(sd["conv_proj.weight"]).transpose(2, 3, 1, 0),
+                "bias": _t2j(sd["conv_proj.bias"]),
+            },
+            "class_token": _t2j(sd["class_token"]),
+            "encoder": enc,
+            "head": _linear(sd, "heads.head"),
+        }
+
+        x = np.random.default_rng(8).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        # NO torch.no_grad(): under no-grad+eval the vendored MHA takes its
+        # fast path, which the reference deliberately breaks with an `asdf`
+        # NameError (ref utils.py:877, SURVEY.md §8); grad-enabled forces the
+        # slow (robust-capable) path the reference actually trains with.
+        ref_out = ref(torch.from_numpy(x)).detach().numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
