@@ -39,6 +39,31 @@ def latest_step(folder: str | Path) -> int | None:
     return max(steps) if steps else None
 
 
+def _align(raw: Any, like: Any) -> Any:
+    """Fill ``like``'s structure from ``raw`` by matching dict keys; children
+    of a TrainState's ``model_state`` (mutable collections like batch_stats)
+    are also looked up at the top level so bare model variables restore from
+    full train-state checkpoints."""
+    if isinstance(like, dict):
+        out = {}
+        for k, v in like.items():
+            if isinstance(raw, dict) and k in raw:
+                out[k] = _align(raw[k], v)
+            elif (
+                isinstance(raw, dict)
+                and isinstance(raw.get("model_state"), dict)
+                and k in raw["model_state"]
+            ):
+                out[k] = _align(raw["model_state"][k], v)
+            else:
+                raise KeyError(
+                    f"checkpoint has no entry for {k!r} "
+                    f"(available: {list(raw) if isinstance(raw, dict) else type(raw)})"
+                )
+        return out
+    return raw
+
+
 def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None) -> Any:
     """Restore the checkpoint at ``step`` (default: latest) with the structure
     and shardings of ``like``. Returns ``None`` if no checkpoint exists."""
@@ -51,7 +76,15 @@ def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None) -
     path = _ckpt_dir(folder) / str(step)
     abstract = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=abstract)
+        try:
+            restored = ckptr.restore(path, item=abstract)
+        except Exception:
+            # structure mismatch — e.g. the checkpoint is a full TrainState
+            # (params/opt_state/model_state/step) but ``like`` is just model
+            # variables ({"params", "batch_stats", ...}). Restore raw and
+            # align by key (model_state children are hoisted to the top).
+            raw = ckptr.restore(path)
+            restored = _align(raw, abstract)
     shardings = jax.tree_util.tree_map(
         lambda x: x.sharding if hasattr(x, "sharding") else None, like
     )

@@ -162,6 +162,15 @@ def test_end_to_end_training_dp(tmp_path):
     np.testing.assert_allclose(
         jax.device_get(restored.step), jax.device_get(m.state.step)
     )
+    # a full-TrainState checkpoint must also restore into BARE model
+    # variables (the noisy_eval / evaluation.py flow): params matched by
+    # key, model_state children hoisted to the top level
+    bare = {"params": m.state.params}
+    restored_vars = restore_checkpoint(tmp_path, bare)
+    np.testing.assert_allclose(
+        jax.device_get(jax.tree_util.tree_leaves(restored_vars["params"])[0]),
+        jax.device_get(jax.tree_util.tree_leaves(m.state.params)[0]),
+    )
 
 
 @pytest.mark.slow
