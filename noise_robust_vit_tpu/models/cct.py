@@ -96,12 +96,14 @@ class _TransformerClassifier(nn.Module):
                 self.embedding_dim, heads=self.num_heads,
                 dim_head=self.embedding_dim // self.num_heads,
                 dropout=self.attention_dropout, robust=self.robust,
-                qkv_bias=True, out_bias=True, dtype=self.dtype,
+                qkv_bias=False, out_bias=True, dtype=self.dtype,
                 name=f"block{i}_attn",
             )(x, deterministic=deterministic)
             x = x + sd(a, deterministic=deterministic)
-            f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"block{i}_norm2")(x)
-            f = nn.Dense(hidden, dtype=self.dtype, name=f"block{i}_fc1")(f)
+            # ref cct.py:137-141: norm1 is applied IN the residual stream
+            # after attention — the MLP's residual base is the NORMALIZED x
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"block{i}_norm2")(x)
+            f = nn.Dense(hidden, dtype=self.dtype, name=f"block{i}_fc1")(x)
             f = gelu(f)
             f = nn.Dropout(self.dropout_rate)(f, deterministic=deterministic)
             f = nn.Dense(self.embedding_dim, dtype=self.dtype, name=f"block{i}_fc2")(f)

@@ -658,3 +658,103 @@ class TestVisionTransformerParity:
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
         )
         np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
+
+
+class TestDeepViTParity:
+    def test_forward_logits(self, ref_pkg):
+        """DeepViT (re-attention) vs ref deepvit.py — a Group-B model."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.deepvit")
+        torch.manual_seed(11)
+        cfg = dict(image_size=32, patch_size=8, num_classes=9, dim=48,
+                   depth=2, heads=4, mlp_dim=96, dim_head=12)
+        ref = ref_mod.DeepViT(**cfg).eval()
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        ours = models.DeepViT(**cfg)
+        params = {
+            "patch_proj": _linear(sd, "to_patch_embedding.1"),
+            "pos_embedding": _t2j(sd["pos_embedding"]),
+            "cls_token": _t2j(sd["cls_token"]),
+            "head_norm": _ln(sd, "mlp_head.0"),
+            "head": _linear(sd, "mlp_head.1"),
+        }
+        for i in range(cfg["depth"]):
+            a = f"transformer.layers.{i}.0.fn"
+            f = f"transformer.layers.{i}.1.fn"
+            params[f"norm_attn_{i}"] = _ln(sd, f"{a}.norm")
+            params[f"attn_{i}"] = {
+                "to_qkv": _linear(sd, f"{a}.fn.to_qkv", bias=False),
+                "reattn_weights": _t2j(sd[f"{a}.fn.reattn_weights"]),
+                "reattn_norm": _ln(sd, f"{a}.fn.reattn_norm.1"),
+                "to_out": _linear(sd, f"{a}.fn.to_out.0"),
+            }
+            params[f"norm_ff_{i}"] = _ln(sd, f"{f}.norm")
+            params[f"ff_{i}_fc1"] = _linear(sd, f"{f}.fn.net.0")
+            params[f"ff_{i}_fc2"] = _linear(sd, f"{f}.fn.net.3")
+
+        x = np.random.default_rng(12).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
+
+
+class TestCCTParity:
+    def test_forward_logits(self, ref_pkg):
+        """CCT (conv tokenizer + seq-pool, Group B — no robust flag upstream)
+        vs ref cct.py. Caught two structural bugs on first write: the
+        reference's norm1 lives IN the residual stream (the MLP residual
+        base is the normalized x, ref cct.py:137-141) and qkv has no bias."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.cct")
+        torch.manual_seed(13)
+        cfg_ref = dict(img_size=32, embedding_dim=32, n_conv_layers=2,
+                       kernel_size=3, stride=1, padding=1)
+        ref = ref_mod.CCT(num_layers=2, num_heads=2, mlp_ratio=2.0,
+                          num_classes=7, positional_embedding="learnable",
+                          **cfg_ref).eval()
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        ours = models.CCT(num_layers=2, num_heads=2, mlp_ratio=2.0,
+                          num_classes=7, positional_embedding="learnable",
+                          **cfg_ref)
+        cls = {
+            "positional_emb": _t2j(sd["classifier.positional_emb"]),
+            "attention_pool": _linear(sd, "classifier.attention_pool"),
+            "norm": _ln(sd, "classifier.norm"),
+            "fc": _linear(sd, "classifier.fc"),
+        }
+        for i in range(2):
+            p = f"classifier.blocks.{i}"
+            cls[f"block{i}_attn"] = {
+                "norm": _ln(sd, f"{p}.pre_norm"),
+                "to_qkv": _linear(sd, f"{p}.self_attn.qkv", bias=False),
+                "to_out": _linear(sd, f"{p}.self_attn.proj"),
+            }
+            cls[f"block{i}_norm2"] = _ln(sd, f"{p}.norm1")
+            cls[f"block{i}_fc1"] = _linear(sd, f"{p}.linear1")
+            cls[f"block{i}_fc2"] = _linear(sd, f"{p}.linear2")
+        params = {"classifier": cls}
+        for i in range(2):
+            params[f"tok_conv{i}"] = {
+                "kernel": _t2j(sd[f"tokenizer.conv_layers.{i}.0.weight"]).transpose(2, 3, 1, 0),
+            }
+
+        x = np.random.default_rng(14).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
