@@ -72,7 +72,7 @@ class _CrossTransformer(nn.Module):
             ctx = jnp.concatenate([q, lg_patch], axis=1)
             out = Attention(
                 self.lg_dim, heads=self.heads, dim_head=self.dim_head,
-                dropout=self.dropout, robust=self.robust, dtype=self.dtype,
+                dropout=self.dropout, robust=self.robust, out_bias=True, dtype=self.dtype,
                 name=f"l{i}_sm_attend_lg",
             )(q, context=ctx, deterministic=deterministic)
             sm_cls = sm_cls + nn.Dense(
@@ -83,7 +83,7 @@ class _CrossTransformer(nn.Module):
             ctx = jnp.concatenate([q, sm_patch], axis=1)
             out = Attention(
                 self.sm_dim, heads=self.heads, dim_head=self.dim_head,
-                dropout=self.dropout, robust=self.robust, dtype=self.dtype,
+                dropout=self.dropout, robust=self.robust, out_bias=True, dtype=self.dtype,
                 name=f"l{i}_lg_attend_sm",
             )(q, context=ctx, deterministic=deterministic)
             lg_cls = lg_cls + nn.Dense(
@@ -134,12 +134,12 @@ class CrossViT(nn.Module):
             sm = Transformer(
                 self.sm_dim, self.sm_enc_depth, self.sm_enc_heads,
                 self.sm_enc_dim_head, self.sm_enc_mlp_dim, dropout=self.dropout,
-                robust=self.robust, dtype=self.dtype, name=f"ms{d}_sm_enc",
+                robust=self.robust, out_bias=True, dtype=self.dtype, name=f"ms{d}_sm_enc",
             )(sm, deterministic=deterministic)
             lg = Transformer(
                 self.lg_dim, self.lg_enc_depth, self.lg_enc_heads,
                 self.lg_enc_dim_head, self.lg_enc_mlp_dim, dropout=self.dropout,
-                robust=self.robust, dtype=self.dtype, name=f"ms{d}_lg_enc",
+                robust=self.robust, out_bias=True, dtype=self.dtype, name=f"ms{d}_lg_enc",
             )(lg, deterministic=deterministic)
             sm, lg = _CrossTransformer(
                 self.sm_dim, self.lg_dim, self.cross_attn_depth,

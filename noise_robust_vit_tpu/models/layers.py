@@ -150,6 +150,11 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     robust: bool = False
     final_norm: bool = False
+    # bias conventions differ upstream: the simple_vit family uses bias-free
+    # to_out (ref simple_vit.py:62), the standard lucidrains zoo uses
+    # nn.Linear defaults (bias=True) — callers pick
+    qkv_bias: bool = False
+    out_bias: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -161,6 +166,8 @@ class Transformer(nn.Module):
                 dim_head=self.dim_head,
                 dropout=self.dropout,
                 robust=self.robust,
+                qkv_bias=self.qkv_bias,
+                out_bias=self.out_bias,
                 dtype=self.dtype,
                 name=f"layers_{i}_attn",
             )(x, deterministic=deterministic) + x

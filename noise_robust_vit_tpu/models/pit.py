@@ -34,10 +34,11 @@ class _Pool(nn.Module):
         b, n, c = tokens.shape
         side = int(math.sqrt(n))
         t = tokens.reshape(b, side, side, c)
-        # depthwise 3x3 stride 2 + 1x1 projection (ref pit.py:88-98)
+        # depthwise 3x3 stride 2 with channel multiplier 2 (out = dim*2,
+        # groups = dim) + 1x1 projection (ref pit.py:88-98)
         t = nn.Conv(
-            c, (3, 3), strides=(2, 2), padding=1, feature_group_count=c,
-            dtype=self.dtype, name="dw",
+            self.dim * 2, (3, 3), strides=(2, 2), padding=1,
+            feature_group_count=c, dtype=self.dtype, name="dw",
         )(t)
         t = nn.Conv(self.dim * 2, (1, 1), dtype=self.dtype, name="pw")(t)
         t = t.reshape(b, -1, self.dim * 2)
@@ -85,8 +86,8 @@ class PiT(nn.Module):
         for ind, (layer_depth, layer_heads) in enumerate(zip(self.depth, heads)):
             x = Transformer(
                 dim, layer_depth, layer_heads, self.dim_head, self.mlp_dim,
-                dropout=self.dropout, robust=self.robust, dtype=self.dtype,
-                name=f"stage{ind}",
+                dropout=self.dropout, robust=self.robust, out_bias=True,
+                dtype=self.dtype, name=f"stage{ind}",
             )(x, deterministic=deterministic)
             if ind < len(self.depth) - 1:
                 x = _Pool(dim, dtype=self.dtype, name=f"pool{ind}")(x)

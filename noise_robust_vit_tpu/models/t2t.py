@@ -77,7 +77,8 @@ class T2TViT(nn.Module):
                 x = Transformer(
                     layer_dim, 1, 1, layer_dim, layer_dim,
                     dropout=self.dropout, robust=self.robust, final_norm=False,
-                    dtype=self.dtype, name=f"t2t_transformer_{i}",
+                    out_bias=True, dtype=self.dtype,
+                    name=f"t2t_transformer_{i}",
                 )(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="patch_proj")(x)
 
@@ -94,7 +95,7 @@ class T2TViT(nn.Module):
         x = Transformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             dropout=self.dropout, robust=self.robust, final_norm=False,
-            dtype=self.dtype, name="transformer",
+            out_bias=True, dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)

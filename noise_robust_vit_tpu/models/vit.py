@@ -70,6 +70,9 @@ class ViT(nn.Module):
                     dim_head=self.dim_head,
                     dropout=self.dropout,
                     robust=self.robust,
+                    # upstream vit-pytorch to_out is a default nn.Linear
+                    # (bias=True), unlike the simple_vit family
+                    out_bias=True,
                     dtype=self.dtype,
                     name=f"layers_{i}_attn",
                 ),

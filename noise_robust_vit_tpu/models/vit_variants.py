@@ -144,8 +144,8 @@ class _ClsTokenViTBase(nn.Module):
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
         x = Transformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-            dropout=self.dropout, robust=self.robust, dtype=self.dtype,
-            name="transformer",
+            dropout=self.dropout, robust=self.robust, out_bias=True,
+            dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
         return _head(x, self.num_classes, self.dtype)
@@ -239,8 +239,8 @@ class ViViT(nn.Module):
         x = x.reshape(b * f, x.shape[2], self.dim)
         x = Transformer(
             self.dim, self.spatial_depth, self.heads, self.dim_head, self.mlp_dim,
-            dropout=self.dropout, robust=self.robust, dtype=self.dtype,
-            name="spatial_transformer",
+            dropout=self.dropout, robust=self.robust, out_bias=True,
+            dtype=self.dtype, name="spatial_transformer",
         )(x, deterministic=deterministic)
         x = x.reshape(b, f, -1, self.dim)
         x = x[:, :, 0] if not gap else jnp.mean(x, axis=2)
@@ -253,8 +253,8 @@ class ViViT(nn.Module):
             x = jnp.concatenate([tc, x], axis=1)
         x = Transformer(
             self.dim, self.temporal_depth, self.heads, self.dim_head, self.mlp_dim,
-            dropout=self.dropout, robust=self.robust, dtype=self.dtype,
-            name="temporal_transformer",
+            dropout=self.dropout, robust=self.robust, out_bias=True,
+            dtype=self.dtype, name="temporal_transformer",
         )(x, deterministic=deterministic)
         x = x[:, 0] if not gap else jnp.mean(x, axis=1)
         return _head(x, self.num_classes, self.dtype)
@@ -304,7 +304,7 @@ class ViTWithPatchDropout(nn.Module):
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
         x = Transformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-            dropout=self.dropout, robust=self.robust, dtype=self.dtype,
+            dropout=self.dropout, robust=self.robust, out_bias=True, dtype=self.dtype,
             name="transformer",
         )(x, deterministic=deterministic)
         x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
@@ -417,7 +417,7 @@ class ViTWithPatchMerger(nn.Module):
                 )(x)
             x = Attention(
                 self.dim, heads=self.heads, dim_head=self.dim_head,
-                dropout=self.dropout, robust=self.robust, dtype=self.dtype,
+                dropout=self.dropout, robust=self.robust, out_bias=True, dtype=self.dtype,
                 name=f"layers_{i}_attn",
             )(x, deterministic=deterministic) + x
             x = FeedForward(
@@ -468,7 +468,7 @@ class ParallelViT(nn.Module):
             attn_sum = sum(
                 Attention(
                     self.dim, heads=self.heads, dim_head=self.dim_head,
-                    dropout=self.dropout, robust=self.robust, dtype=self.dtype,
+                    dropout=self.dropout, robust=self.robust, out_bias=True, dtype=self.dtype,
                     name=f"layers_{i}_attn_{j}",
                 )(x, deterministic=deterministic)
                 for j in range(self.num_parallel_branches)

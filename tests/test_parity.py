@@ -758,3 +758,65 @@ class TestCCTParity:
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
         )
         np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
+
+
+class TestPiTParity:
+    def test_forward_logits(self, ref_pkg):
+        """PiT (overlapping-unfold tokenizer + depthwise-conv pooling) vs
+        ref pit.py. Locked in after a zoo-wide bias audit: the lucidrains
+        zoo's to_out is a default nn.Linear (bias=True), unlike simple_vit."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.pit")
+        torch.manual_seed(15)
+        cfg = dict(image_size=32, patch_size=8, num_classes=6, dim=24,
+                   depth=(1, 1), heads=2, mlp_dim=48, dim_head=12)
+        ref = ref_mod.PiT(**cfg).eval()
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        ours = models.PiT(**cfg)
+        params = {
+            "patch_proj": _linear(sd, "to_patch_embedding.2"),
+            "pos_embedding": _t2j(sd["pos_embedding"]),
+            "cls_token": _t2j(sd["cls_token"]),
+            "head_norm": _ln(sd, "mlp_head.0"),
+            "head": _linear(sd, "mlp_head.1"),
+        }
+        # layers Sequential: [Transformer, Pool, Transformer]
+        for stage, seq in ((0, 0), (1, 2)):
+            t = {}
+            a = f"layers.{seq}.layers.0.0"
+            f = f"layers.{seq}.layers.0.1"
+            t["layers_0_attn"] = {
+                "norm": _ln(sd, f"{a}.norm"),
+                "to_qkv": _linear(sd, f"{a}.fn.to_qkv", bias=False),
+                "to_out": _linear(sd, f"{a}.fn.to_out.0"),
+            }
+            t["layers_0_ff"] = {
+                "norm": _ln(sd, f"{f}.norm"),
+                "fc1": _linear(sd, f"{f}.fn.net.0"),
+                "fc2": _linear(sd, f"{f}.fn.net.3"),
+            }
+            params[f"stage{stage}"] = t
+        params["pool0"] = {
+            "cls_ff": _linear(sd, "layers.1.cls_ff"),
+            "dw": {
+                "kernel": _t2j(sd["layers.1.downsample.net.0.weight"]).transpose(2, 3, 1, 0),
+                "bias": _t2j(sd["layers.1.downsample.net.0.bias"]),
+            },
+            "pw": {
+                "kernel": _t2j(sd["layers.1.downsample.net.1.weight"]).transpose(2, 3, 1, 0),
+                "bias": _t2j(sd["layers.1.downsample.net.1.bias"]),
+            },
+        }
+
+        x = np.random.default_rng(16).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
