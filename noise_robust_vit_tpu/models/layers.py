@@ -50,12 +50,15 @@ def is_recording() -> bool:
 
 
 class FeedForward(nn.Module):
-    """LayerNorm → Dense → GELU → Dense (+dropout) (ref simple_vit.py:34-45)."""
+    """LayerNorm → Dense → act → Dense (+dropout) (ref simple_vit.py:34-45).
+    ``act`` defaults to GELU; MobileViT's transformer uses SiLU
+    (ref mobile_vit.py:39-41)."""
 
     dim: int
     hidden_dim: int
     dropout: float = 0.0
     pre_norm: bool = True
+    act: Callable = gelu
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,7 +66,7 @@ class FeedForward(nn.Module):
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = gelu(x)
+        x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -155,6 +158,7 @@ class Transformer(nn.Module):
     # nn.Linear defaults (bias=True) — callers pick
     qkv_bias: bool = False
     out_bias: bool = False
+    ff_act: Callable = gelu
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -175,6 +179,7 @@ class Transformer(nn.Module):
                 self.dim,
                 self.mlp_dim,
                 dropout=self.dropout,
+                act=self.ff_act,
                 dtype=self.dtype,
                 name=f"layers_{i}_ff",
             )(x, deterministic=deterministic) + x

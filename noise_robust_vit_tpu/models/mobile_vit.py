@@ -103,8 +103,8 @@ class _MobileViTBlock(nn.Module):
         x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b * ph * pw, -1, d)
         x = Transformer(
             self.dim, self.depth, 4, 8, self.mlp_dim, dropout=self.dropout,
-            robust=self.robust, out_bias=True, dtype=self.dtype,
-            name="transformer",
+            robust=self.robust, out_bias=True, ff_act=nn.silu,
+            dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
         x = x.reshape(b, ph, pw, h // ph, w // pw, d)
         x = x.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, d)

@@ -820,3 +820,95 @@ class TestPiTParity:
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
         )
         np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
+
+
+class TestMobileViTParity:
+    def test_forward_logits(self, ref_pkg):
+        """MobileViT (MV2 + local-global-local blocks, BN running stats,
+        SiLU transformer FFN) vs ref mobile_vit.py."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.mobile_vit")
+        torch.manual_seed(17)
+        cfg = dict(
+            image_size=(64, 64), dims=(16, 20, 24),
+            channels=(4, 4, 6, 6, 8, 8, 10, 10, 12, 12, 32),
+            num_classes=5, depths=(1, 1, 1),
+        )
+        ref = ref_mod.MobileViT(**cfg).eval()
+        # randomize BN running stats so they actually matter
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        def conv(prefix):
+            return {"kernel": _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+
+        def bn(prefix):
+            p = {"scale": _t2j(sd[f"{prefix}.weight"]), "bias": _t2j(sd[f"{prefix}.bias"])}
+            s = {"mean": _t2j(sd[f"{prefix}.running_mean"]),
+                 "var": _t2j(sd[f"{prefix}.running_var"])}
+            return p, s
+
+        params, stats = {}, {}
+
+        def conv_bn(name, conv_key, bn_key):
+            bp, bs = bn(bn_key)
+            params[name] = {"conv": conv(conv_key), "bn": bp}
+            stats[name] = {"bn": bs}
+
+        def mv2(name, prefix):
+            bp0, bs0 = bn(f"{prefix}.1")
+            bp1, bs1 = bn(f"{prefix}.4")
+            bp2, bs2 = bn(f"{prefix}.7")
+            params[name] = {
+                "pw": conv(f"{prefix}.0"), "bn0": bp0,
+                "dw": conv(f"{prefix}.3"), "bn1": bp1,
+                "pw_linear": conv(f"{prefix}.6"), "bn2": bp2,
+            }
+            stats[name] = {"bn0": bs0, "bn1": bs1, "bn2": bs2}
+
+        conv_bn("conv1", "conv1.0", "conv1.1")
+        for i in range(4):
+            mv2(f"stem{i}", f"stem.{i}.conv")
+        for i in range(3):
+            mv2(f"trunk{i}_mv2", f"trunk.{i}.0.conv")
+            blk, bst = {}, {}
+            for cn in ("conv1", "conv2", "conv3", "conv4"):
+                bp, bs = bn(f"trunk.{i}.1.{cn}.1")
+                blk[cn] = {"conv": conv(f"trunk.{i}.1.{cn}.0"), "bn": bp}
+                bst[cn] = {"bn": bs}
+            tr = {}
+            for j in range(cfg["depths"][i]):
+                a = f"trunk.{i}.1.transformer.layers.{j}.0"
+                f = f"trunk.{i}.1.transformer.layers.{j}.1"
+                tr[f"layers_{j}_attn"] = {
+                    "norm": _ln(sd, f"{a}.norm"),
+                    "to_qkv": _linear(sd, f"{a}.fn.to_qkv", bias=False),
+                    "to_out": _linear(sd, f"{a}.fn.to_out.0"),
+                }
+                tr[f"layers_{j}_ff"] = {
+                    "norm": _ln(sd, f"{f}.norm"),
+                    "fc1": _linear(sd, f"{f}.fn.net.0"),
+                    "fc2": _linear(sd, f"{f}.fn.net.3"),
+                }
+            blk["transformer"] = tr
+            params[f"trunk{i}_mvit"] = blk
+            stats[f"trunk{i}_mvit"] = bst
+        conv_bn("to_logits_conv", "to_logits.0.0", "to_logits.0.1")
+        params["head"] = _linear(sd, "to_logits.2", bias=False)
+
+        ours = models.MobileViT(**cfg)
+        x = np.random.default_rng(18).normal(size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params),
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=1e-4)
