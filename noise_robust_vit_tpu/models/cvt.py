@@ -151,8 +151,10 @@ class CvT(nn.Module):
                 xn = _ChannelLN(cfg["emb_dim"], dtype=self.dtype,
                                 name=f"s{s}_b{d}_norm1")(x)
                 x = x + _CvtAttention(
+                    # dim_head is FIXED at 64 upstream (ref cvt.py:105 —
+                    # CvT never passes dim_head through), not emb_dim/heads
                     cfg["emb_dim"], cfg["proj_kernel"], cfg["kv_proj_stride"],
-                    cfg["heads"], cfg["emb_dim"] // cfg["heads"], self.dropout,
+                    cfg["heads"], 64, self.dropout,
                     self.robust, dtype=self.dtype, name=f"s{s}_b{d}_attn",
                 )(xn, deterministic=deterministic)
                 xn = _ChannelLN(cfg["emb_dim"], dtype=self.dtype,

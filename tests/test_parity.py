@@ -912,3 +912,214 @@ class TestMobileViTParity:
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
         )
         np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=1e-4)
+
+
+class TestCvTParity:
+    def test_forward_logits(self, ref_pkg):
+        """CvT (depthwise-conv qkv projections + channel-LN + conv FFN,
+        BN running stats in the projections) vs ref cvt.py."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.cvt")
+        torch.manual_seed(19)
+        cfg = dict(num_classes=6, s1_emb_dim=16, s1_heads=1, s1_depth=1,
+                   s2_emb_dim=24, s2_heads=2, s2_depth=1,
+                   s3_emb_dim=32, s3_heads=2, s3_depth=1)
+        ref = ref_mod.CvT(**cfg).eval()
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        def conv(prefix, bias=True):
+            out = {"kernel": _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+            if bias:
+                out["bias"] = _t2j(sd[f"{prefix}.bias"])
+            return out
+
+        def cln(prefix):
+            return {"g": _t2j(sd[f"{prefix}.g"]).reshape(-1),
+                    "b": _t2j(sd[f"{prefix}.b"]).reshape(-1)}
+
+        def dwproj(prefix):
+            p = {
+                "dw": conv(f"{prefix}.net.0", bias=False),
+                "pw": conv(f"{prefix}.net.2", bias=False),
+                "bn": {"scale": _t2j(sd[f"{prefix}.net.1.weight"]),
+                       "bias": _t2j(sd[f"{prefix}.net.1.bias"])},
+            }
+            s = {"bn": {"mean": _t2j(sd[f"{prefix}.net.1.running_mean"]),
+                        "var": _t2j(sd[f"{prefix}.net.1.running_var"])}}
+            return p, s
+
+        params, stats = {}, {}
+        for s_i in (1, 2, 3):
+            li = s_i - 1
+            params[f"s{s_i}_embed"] = conv(f"layers.{li}.0")
+            params[f"s{s_i}_norm"] = cln(f"layers.{li}.1")
+            depth = cfg[f"s{s_i}_depth"]
+            for d in range(depth):
+                a = f"layers.{li}.2.layers.{d}.0"
+                f = f"layers.{li}.2.layers.{d}.1"
+                params[f"s{s_i}_b{d}_norm1"] = cln(f"{a}.norm")
+                params[f"s{s_i}_b{d}_norm2"] = cln(f"{f}.norm")
+                attn, astats = {}, {}
+                for proj in ("to_q", "to_kv"):
+                    p, st = dwproj(f"{a}.fn.{proj}")
+                    attn[proj] = p
+                    astats[proj] = st
+                attn["to_out"] = conv(f"{a}.fn.to_out.0")
+                params[f"s{s_i}_b{d}_attn"] = attn
+                stats[f"s{s_i}_b{d}_attn"] = astats
+                params[f"s{s_i}_b{d}_ff1"] = conv(f"{f}.fn.net.0")
+                params[f"s{s_i}_b{d}_ff2"] = conv(f"{f}.fn.net.3")
+        params["head"] = _linear(sd, "to_logits.2")
+
+        ours = models.CvT(**cfg)
+        x = np.random.default_rng(20).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params),
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=1e-4)
+
+
+class TestTwinsSVTParity:
+    def test_forward_logits(self, ref_pkg):
+        """Twins-SVT (local windowed + global subsampled attention + PEG) vs
+        ref twins_svt.py."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.twins_svt")
+        torch.manual_seed(21)
+        cfg = dict(
+            num_classes=6,
+            s1_emb_dim=16, s1_patch_size=4, s1_local_patch_size=4,
+            s1_global_k=4, s1_depth=1,
+            s2_emb_dim=24, s2_patch_size=2, s2_local_patch_size=2,
+            s2_global_k=2, s2_depth=1,
+            s3_emb_dim=32, s3_patch_size=2, s3_local_patch_size=2,
+            s3_global_k=2, s3_depth=1,
+            s4_emb_dim=40, s4_patch_size=2, s4_local_patch_size=1,
+            s4_global_k=1, s4_depth=1,
+        )
+        ref = ref_mod.TwinsSVT(**cfg).eval()
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        def conv(prefix, bias=True):
+            out = {"kernel": _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+            if bias:
+                out["bias"] = _t2j(sd[f"{prefix}.bias"])
+            return out
+
+        def cln(prefix):
+            return {"g": _t2j(sd[f"{prefix}.g"]).reshape(-1),
+                    "b": _t2j(sd[f"{prefix}.b"]).reshape(-1)}
+
+        def twins_layer(prefix, has_local):
+            out = {}
+            if has_local:
+                out["ln_local"] = cln(f"{prefix}.0.fn.norm")
+                out["local_attn"] = {
+                    "to_q": conv(f"{prefix}.0.fn.fn.to_q", bias=False),
+                    "to_kv": conv(f"{prefix}.0.fn.fn.to_kv", bias=False),
+                    "to_out": conv(f"{prefix}.0.fn.fn.to_out.0"),
+                }
+                out["ln_ff1"] = cln(f"{prefix}.1.fn.norm")
+                out["ff1"] = {
+                    "fc1": conv(f"{prefix}.1.fn.fn.net.0"),
+                    "fc2": conv(f"{prefix}.1.fn.fn.net.3"),
+                }
+            out["ln_global"] = cln(f"{prefix}.2.fn.norm")
+            out["global_attn"] = {
+                "to_q": conv(f"{prefix}.2.fn.fn.to_q", bias=False),
+                "to_kv": conv(f"{prefix}.2.fn.fn.to_kv", bias=False),
+                "to_out": conv(f"{prefix}.2.fn.fn.to_out.0"),
+            }
+            out["ln_ff2"] = cln(f"{prefix}.3.fn.norm")
+            out["ff2"] = {
+                "fc1": conv(f"{prefix}.3.fn.fn.net.0"),
+                "fc2": conv(f"{prefix}.3.fn.fn.net.3"),
+            }
+            return out
+
+        params = {"head": _linear(sd, "layers.6")}
+        for s in (1, 2, 3, 4):
+            li = s - 1
+            has_local = s != 4
+            params[f"s{s}_embed"] = conv(f"layers.{li}.0.proj")
+            params[f"s{s}_pre"] = twins_layer(f"layers.{li}.1.layers.0", has_local)
+            params[f"s{s}_peg"] = conv(f"layers.{li}.2.proj.fn")
+            params[f"s{s}_layer0"] = twins_layer(f"layers.{li}.3.layers.0", has_local)
+
+        ours = models.TwinsSVT(**cfg)
+        x = np.random.default_rng(22).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=1e-4)
+
+
+class TestNesTParity:
+    def test_forward_logits(self, ref_pkg):
+        """NesT (hierarchical block transformers + aggregate) vs ref nest.py."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.nest")
+        torch.manual_seed(23)
+        cfg = dict(image_size=32, patch_size=4, num_classes=6, dim=8,
+                   heads=1, num_hierarchies=3, block_repeats=(1, 1, 1))
+        ref = ref_mod.NesT(**cfg).eval()
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        def conv(prefix, bias=True):
+            out = {"kernel": _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+            if bias:
+                out["bias"] = _t2j(sd[f"{prefix}.bias"])
+            return out
+
+        def cln(prefix):
+            return {"g": _t2j(sd[f"{prefix}.g"]).reshape(-1),
+                    "b": _t2j(sd[f"{prefix}.b"]).reshape(-1)}
+
+        params = {
+            "patch_embed": conv("to_patch_embedding.1"),
+            "head_norm": cln("mlp_head.0"),
+            "head": _linear(sd, "mlp_head.2"),
+        }
+        for idx in range(3):
+            t = {"pos_emb": _t2j(sd[f"layers.{idx}.0.pos_emb"])}
+            p = f"layers.{idx}.0.layers.0"
+            t["b0_norm1"] = cln(f"{p}.0.norm")
+            t["b0_to_qkv"] = conv(f"{p}.0.fn.to_qkv", bias=False)
+            t["b0_to_out"] = conv(f"{p}.0.fn.to_out.0")
+            t["b0_norm2"] = cln(f"{p}.1.norm")
+            t["b0_ff1"] = conv(f"{p}.1.fn.net.0")
+            t["b0_ff2"] = conv(f"{p}.1.fn.net.3")
+            params[f"level{idx}_transformer"] = t
+            if idx != 2:  # level != 0
+                params[f"level{idx}_aggregate"] = conv(f"layers.{idx}.1.0")
+                params[f"level{idx}_ln"] = cln(f"layers.{idx}.1.1")
+
+        ours = models.NesT(**cfg)
+        x = np.random.default_rng(24).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
