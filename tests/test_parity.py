@@ -1123,3 +1123,79 @@ class TestNesTParity:
             jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
         )
         np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=5e-5)
+
+
+class TestMaxViTParity:
+    def test_forward_logits(self, ref_pkg):
+        """MaxViT (MBConv+SE, block attention, grid attention, rel-pos-bias
+        embeddings, BN running stats) vs ref max_vit.py."""
+        ref_mod = importlib.import_module("vit_pytorch_robust.max_vit")
+        torch.manual_seed(25)
+        cfg = dict(num_classes=6, dim=16, depth=(1, 1), dim_head=8,
+                   window_size=2, dropout=0.0)
+        ref = ref_mod.MaxViT(**cfg).eval()
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+        sd = ref.state_dict()
+
+        import jax
+        import jax.numpy as jnp
+        from noise_robust_vit_tpu import models
+
+        def conv(prefix, bias=True):
+            out = {"kernel": _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+            if bias:
+                out["bias"] = _t2j(sd[f"{prefix}.bias"])
+            return out
+
+        def bnp(prefix):
+            return ({"scale": _t2j(sd[f"{prefix}.weight"]), "bias": _t2j(sd[f"{prefix}.bias"])},
+                    {"mean": _t2j(sd[f"{prefix}.running_mean"]), "var": _t2j(sd[f"{prefix}.running_var"])})
+
+        params = {
+            "stem0": conv("conv_stem.0"),
+            "stem1": conv("conv_stem.1"),
+            "head_norm": _ln(sd, "mlp_head.1"),
+            "head": _linear(sd, "mlp_head.2"),
+        }
+        stats = {}
+        for blk in range(2):
+            base = f"layers.{blk}.0"  # first block of each stage: plain Sequential
+            p1, s1 = bnp(f"{base}.1")
+            p2, s2 = bnp(f"{base}.4")
+            p3, s3 = bnp(f"{base}.8")
+            params[f"block{blk}_mbconv"] = {
+                "expand": conv(f"{base}.0"), "bn1": p1,
+                "dwconv": conv(f"{base}.3"), "bn2": p2,
+                "se": {
+                    "fc1": _linear(sd, f"{base}.6.gate.1", bias=False),
+                    "fc2": _linear(sd, f"{base}.6.gate.3", bias=False),
+                },
+                "project": conv(f"{base}.7"), "bn3": p3,
+            }
+            stats[f"block{blk}_mbconv"] = {"bn1": s1, "bn2": s2, "bn3": s3}
+            for tag, a_i, f_i in (("blockattn", 2, 3), ("gridattn", 6, 7)):
+                params[f"block{blk}_{tag}_norm1"] = _ln(sd, f"layers.{blk}.{a_i}.norm")
+                params[f"block{blk}_{tag}_attn"] = {
+                    "to_qkv": _linear(sd, f"layers.{blk}.{a_i}.fn.to_qkv", bias=False),
+                    "to_out": _linear(sd, f"layers.{blk}.{a_i}.fn.to_out.0", bias=False),
+                    "rel_pos_bias": _t2j(sd[f"layers.{blk}.{a_i}.fn.rel_pos_bias.weight"]),
+                }
+                params[f"block{blk}_{tag}_norm2"] = _ln(sd, f"layers.{blk}.{f_i}.norm")
+                params[f"block{blk}_{tag}_ff"] = {
+                    "fc1": _linear(sd, f"layers.{blk}.{f_i}.fn.net.0"),
+                    "fc2": _linear(sd, f"layers.{blk}.{f_i}.fn.net.3"),
+                }
+
+        ours = models.MaxViT(**cfg)
+        x = np.random.default_rng(26).normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        ours_out = ours.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params),
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(ours_out), ref_out, atol=1e-4)
