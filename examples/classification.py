@@ -29,7 +29,7 @@ import optax
 from noise_robust_vit_tpu import datasets, ops
 from noise_robust_vit_tpu.models.factory import create_model
 from noise_robust_vit_tpu.train import DataLoader, Trainer, make_config
-from noise_robust_vit_tpu.train.data import augment_batch
+from noise_robust_vit_tpu.train.data import augment_batch, make_loader
 
 
 class Model(Trainer):
@@ -40,12 +40,19 @@ class Model(Trainer):
             self.args.dataset, (100, 32)
         )
         ds = datasets.get_dataset(self.args.dataset_path, "train", name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=True, seed=self.args.seed)
+        if hasattr(ds, "classes"):
+            self.num_classes = len(ds.classes)
+        return make_loader(
+            ds, self.args.batch_size, train=True,
+            image_size=self.image_size, seed=self.args.seed,
+        )
 
     def initialize_val_loader(self):
         split = "test" if self.args.dataset.startswith("CIFAR") else "val"
         ds = datasets.get_dataset(self.args.dataset_path, split, name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=False, drop_last=False)
+        return make_loader(
+            ds, self.args.batch_size, train=False, image_size=self.image_size,
+        )
 
     def initialize_modules(self):
         dtype = jnp.bfloat16 if self.args.float16 else jnp.float32

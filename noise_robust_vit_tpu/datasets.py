@@ -111,11 +111,40 @@ def _npz_dataset(path: Path, split: str) -> ArrayDataset:
     return ArrayDataset(d["images"], d["labels"].astype(np.int32))
 
 
+def _resolve_split_dir(path: Path, split: str) -> Path | None:
+    """Find the on-disk directory for ``split`` (accepts val/test aliases)."""
+    aliases = {"train": ["train"], "val": ["val", "test", "validation"],
+               "test": ["test", "val", "validation"]}
+    for s in aliases.get(split, [split]):
+        if (path / s).is_dir():
+            return path / s
+    return None
+
+
 def get_dataset(path: str | Path | None, split: str = "train", name: str | None = None):
-    """Resolve a dataset by path (CIFAR pickle dirs / NPZ dumps) or fall back
-    to synthetic (ref omega.dataset.get_dataset)."""
+    """Resolve a dataset by path — packed memmap dumps, ImageFolder trees
+    (ImageNet/TinyImageNet layouts), NPZ dumps, CIFAR pickle dirs — or fall
+    back to synthetic (ref omega.dataset.get_dataset; the ImageFolder path is
+    the reference's ``datasets.imagenet_train_dataset`` intent,
+    ref CIFAR100.py:18-21)."""
     if path is not None:
         path = Path(path)
+        split_dir = _resolve_split_dir(path, split)
+        if split_dir is not None and (split_dir / "meta.json").exists():
+            from .train.image_data import PackedDataset
+
+            return PackedDataset(split_dir)
+        if (path / "meta.json").exists() and (path / "images.npy").exists():
+            from .train.image_data import PackedDataset
+
+            return PackedDataset(path)
+        if split_dir is not None and not (split_dir.parent / f"{split}.npz").exists():
+            from .train.image_data import ImageFolderDataset
+
+            try:
+                return ImageFolderDataset(split_dir)
+            except FileNotFoundError:
+                pass
         if (path / f"{split}.npz").exists():
             return _npz_dataset(path, split)
         for k in (100, 10):

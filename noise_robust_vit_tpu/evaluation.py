@@ -125,14 +125,43 @@ def compute_map(ranks: np.ndarray, gnd: list[dict], kappas=()):
 def extract_features(apply_fn, loader, mesh=None) -> tuple[np.ndarray, np.ndarray]:
     """Run ``apply_fn(images) -> features`` over a loader, returning the full
     (features, indices) matrices on host in dataset order (the reference's
-    distributed extract + gather, ref evaluate_copy_detection.py:272-339)."""
+    distributed extract + gather, ref evaluate_copy_detection.py:272-339).
+
+    Batches are prefetched to device (2-deep; sharded over the mesh's
+    ``data`` axis when ``mesh`` is given — XLA's all-gather replaces the
+    reference's async ``dist.all_gather``) and feature outputs stay on
+    device until one final bulk fetch, so compute, H2D and D2H all overlap.
+    """
+    from .parallel import batch_sharding, replicated
+    from .train.data import prefetch_to_device
+
+    if mesh is not None:
+        in_sharding = batch_sharding(mesh)
+        jitted = jax.jit(apply_fn, out_shardings=replicated(mesh))
+    else:
+        in_sharding = None
+        jitted = jax.jit(apply_fn)
+
     feats, idxs = [], []
-    jitted = jax.jit(apply_fn)
-    for batch in loader:
-        f = jitted(jnp.asarray(batch["image"]))
-        feats.append(np.asarray(jax.device_get(f)))
-        idxs.append(np.asarray(batch["index"]))
-    feats = np.concatenate(feats)
+    if in_sharding is not None:
+        batches = prefetch_to_device(
+            ({"image": b["image"]} for b in _tee_indices(loader, idxs)),
+            in_sharding,
+        )
+        for device_batch in batches:
+            feats.append(jitted(device_batch["image"]))
+    else:
+        for batch in loader:
+            idxs.append(np.asarray(batch["index"]))
+            feats.append(jitted(jnp.asarray(batch["image"])))
+    feats = np.concatenate([np.asarray(f) for f in jax.device_get(feats)])
     idxs = np.concatenate(idxs)
     order = np.argsort(idxs)
     return feats[order], idxs[order]
+
+
+def _tee_indices(loader, idxs_out: list):
+    """Yield batches while appending their host-side indices to ``idxs_out``."""
+    for batch in loader:
+        idxs_out.append(np.asarray(batch["index"]))
+        yield batch

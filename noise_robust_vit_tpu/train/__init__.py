@@ -2,7 +2,13 @@
 
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .config import make_config, save_hparams
-from .data import ArrayDataset, DataLoader, augment_batch
+from .data import ArrayDataset, DataLoader, augment_batch, make_loader
+from .image_data import (
+    ImageFolderDataset,
+    ImageFolderLoader,
+    PackedDataset,
+    pack_image_folder,
+)
 from .logging import RunLogger, gather_runs
 from .optim import adamw, make_optimizer, multistep, warmup_constant_cosine, warmup_cosine
 from .trainer import Trainer, TrainState
@@ -16,6 +22,11 @@ __all__ = [
     "ArrayDataset",
     "DataLoader",
     "augment_batch",
+    "make_loader",
+    "ImageFolderDataset",
+    "ImageFolderLoader",
+    "PackedDataset",
+    "pack_image_folder",
     "RunLogger",
     "gather_runs",
     "adamw",

@@ -22,10 +22,62 @@ __all__ = [
     "ArrayDataset",
     "DataLoader",
     "augment_batch",
+    "make_loader",
     "prefetch_to_device",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
 ]
+
+
+def make_loader(
+    dataset,
+    batch_size: int,
+    *,
+    train: bool = True,
+    image_size: int | None = None,
+    seed: int = 0,
+    shard: tuple[int, int] | None = None,
+    num_workers: int = 8,
+    indices=None,
+):
+    """Loader dispatch: decoded-on-the-fly ``ImageFolderLoader`` for
+    ``ImageFolderDataset``; in-memory/memmap ``DataLoader`` otherwise.
+
+    ``shard`` defaults to this process's (index, count) — single-process runs
+    get (0, 1); under ``jax.distributed`` each host reads a disjoint slice
+    (the FFCV world_size sharding role, ref randomlabel.py:72-77).
+    """
+    from .image_data import ImageFolderDataset, ImageFolderLoader
+
+    if shard is None:
+        import jax
+
+        shard = (jax.process_index(), jax.process_count())
+    if isinstance(dataset, ImageFolderDataset):
+        return ImageFolderLoader(
+            dataset,
+            batch_size,
+            image_size=image_size or 224,
+            train=train,
+            seed=seed,
+            shard=shard,
+            num_workers=num_workers,
+            indices=indices,
+        )
+    rank, world = shard
+    base = np.arange(len(dataset)) if indices is None else np.asarray(indices)
+    if world > 1:
+        # per-epoch reshuffling happens inside DataLoader over the given
+        # indices; shard by static stride so shards stay disjoint
+        base = base[rank::world]
+    return DataLoader(
+        dataset,
+        batch_size,
+        shuffle=train,
+        seed=seed,
+        indices=base,
+        drop_last=train,
+    )
 
 
 def prefetch_to_device(iterator, sharding, size: int = 2):
