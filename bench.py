@@ -10,6 +10,7 @@ bfloat16 on the available accelerator and prints ONE JSON line:
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -50,7 +51,9 @@ def _measure(robust: bool, batch: int = 256, steps: int = 20):
     tx = optax.adamw(1e-3, weight_decay=0.05)
     opt_state = tx.init(params)
 
-    @jax.jit
+    # donate params/opt_state — matches the Trainer's jitted step
+    # (train/trainer.py donate_argnums) and saves ~8 ms/step on v5e
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, x, y):
         def loss_fn(p):
             logits = model.apply(p, x)

@@ -26,6 +26,7 @@ from flax import linen as nn
 from ..ops import gelu
 
 from .. import ops
+from ..parallel.tp import constrain_activation
 from ..utils import trunc_normal_init
 
 _REC = threading.local()
@@ -66,6 +67,7 @@ class FeedForward(nn.Module):
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = constrain_activation(x, "data", None, "model")
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
@@ -104,6 +106,25 @@ class Attention(nn.Module):
         m = context.shape[1]
         if context is x:
             qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
+            if (
+                mask is None
+                and not is_recording()
+                and ops.packed_dispatch(self.robust, n, self.dim_head, self.heads, b)
+            ):
+                # packed fused kernel: consumes the qkv projection layout
+                # directly and emits the to_out layout — no transpose/pad
+                # boundary for XLA to schedule around (round-2 fast path)
+                qkv = constrain_activation(qkv, "data", None, "model")
+                out = ops.packed_attention(
+                    qkv, self.heads, self.dim_head,
+                    scale=self.dim_head**-0.5,
+                    robust=self.robust,
+                    sinkhorn_iters=self.sinkhorn_iters,
+                    final_row_norm=self.final_row_norm,
+                )
+                out = constrain_activation(out, "data", None, "model")
+                out = nn.Dense(self.dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
+                return nn.Dropout(self.dropout)(out, deterministic=deterministic)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
@@ -113,6 +134,12 @@ class Attention(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        # Megatron TP: pin the per-head activations to the model axis so the
+        # partitioner keeps head-sharded attention instead of resharding
+        # (no-op outside a tp_shardings_active context)
+        q = constrain_activation(q, "data", "model", None, None)
+        k = constrain_activation(k, "data", "model", None, None)
+        v = constrain_activation(v, "data", "model", None, None)
 
         if is_recording():
             attn = ops.attention_weights(
@@ -135,7 +162,9 @@ class Attention(nn.Module):
                 final_row_norm=self.final_row_norm,
             )
 
+        out = constrain_activation(out, "data", "model", None, None)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = constrain_activation(out, "data", None, "model")
         out = nn.Dense(self.dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out

@@ -7,6 +7,8 @@ from .activations import gelu
 from .attention import (
     attention_weights,
     dot_product_attention,
+    packed_attention,
+    packed_dispatch,
     set_use_pallas,
     use_pallas_default,
 )
@@ -23,6 +25,8 @@ __all__ = [
     "gelu",
     "attention_weights",
     "dot_product_attention",
+    "packed_attention",
+    "packed_dispatch",
     "set_use_pallas",
     "use_pallas_default",
     "posemb_sincos_1d",

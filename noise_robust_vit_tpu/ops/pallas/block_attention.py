@@ -1,0 +1,289 @@
+"""Packed-qkv fused attention kernel — the in-model fast path.
+
+Round-1 finding (CLAUDE.md): the per-(batch·head) fused kernel
+(`sinkhorn_attention.py`) wins in isolation but LOSES inside the full model
+because its ``[B,H,N,D]`` operands force real transpose/pad copies at the
+opaque kernel boundary and block XLA's scheduling. Step-anatomy ablation
+(round 2, v5e, ViT-B/16 bs256 bf16, donated step 301.5 ms): attention costs
+145 ms in-model — 88 ms for the two tiny-K GEMMs + N² f32 HBM round-trips,
+57 ms for the softmax passes.
+
+This kernel removes the boundary entirely:
+
+  * input is the **packed qkv projection output** ``[B, N, 3·H·D]`` exactly
+    as ``to_qkv`` produces it (q|k|v chunk order, ref simple_vit.py:66-68);
+    the three per-head-group slices are addressed by three BlockSpecs with
+    different index maps **over the same operand** — zero host-side
+    transposes, pads, splits or copies;
+  * output is ``[B, N, H·D]`` exactly as ``to_out`` consumes it;
+  * grid is (batch-groups × head-groups); Mosaic requires 128-divisible
+    minor block dims, so each block carries ``128 // dim_head`` heads
+    side-by-side; each program pads its ``[N, D]`` tiles to MXU-aligned
+    shapes **in VMEM**, computes softmax (or Sinkhorn-renormalized,
+    ref utils.py:1025-1037) attention, and writes back — the N×N matrix
+    never exists in HBM, in either the forward or the hand-derived backward
+    (`sinkhorn_attention._bwd_math_manual`);
+  * backward consumes the incoming ``[B, N, H·D]`` cotangent directly and
+    emits (dq, dk, dv) chunks that XLA concatenates straight into the
+    ``to_qkv`` backward GEMMs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sinkhorn_attention import _bwd_math_manual, _round_up, _single_head_math
+
+__all__ = ["packed_attention", "packed_attention_supported"]
+
+_LANE = 128
+_MAX_N_PAD = 1536
+# Sinkhorn scaling-vector residual rows, padded to a full sublane tile
+# (skips the backward's forward-replay of the scaling iteration — round-1
+# win, CLAUDE.md "stored-vector bwd")
+_VEC_ROWS = 8
+
+
+def _num_vecs(iters: int, final_row: bool) -> int:
+    return max(iters - 1, 0) + int(final_row) + iters
+
+
+def _heads_per_block(dim_head: int) -> int:
+    """Heads per 128-lane block (Mosaic minor block dims must be
+    128-divisible or span the array)."""
+    if dim_head >= _LANE:
+        return 1
+    return _LANE // dim_head
+
+
+def _block_width(dim_head: int) -> int:
+    return _heads_per_block(dim_head) * dim_head
+
+
+def _pick_batch_group(b: int, per_image_bytes: int, budget: int) -> int:
+    """Largest divisor of ``b`` from {16,8,4,2,1} whose unrolled per-image
+    scratch fits the VMEM budget (Mosaic keeps each unrolled iteration's
+    scratch live separately — no reuse across a python loop)."""
+    for g in (16, 8, 4, 2, 1):
+        if b % g == 0 and g * per_image_bytes <= budget:
+            return g
+    return 1
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, *out_refs, scale, n, n_pad, d, robust,
+                iters, final_row, g, hpb, want_vecs):
+    o_ref = out_refs[0]
+    vec_ref = out_refs[1] if want_vecs else None
+    for gi in range(g):
+        # pad the full (128-lane-aligned) block once, THEN slice heads —
+        # Mosaic can't pad a value carrying an unaligned lane offset
+        qb = jnp.pad(q_ref[gi], ((0, n_pad - n), (0, 0)))
+        kb = jnp.pad(k_ref[gi], ((0, n_pad - n), (0, 0)))
+        vb = jnp.pad(v_ref[gi], ((0, n_pad - n), (0, 0)))
+        outs = []
+        for hh in range(hpb):
+            sl = slice(hh * d, (hh + 1) * d)
+            res = _single_head_math(
+                qb[:, sl], kb[:, sl], vb[:, sl],
+                scale=scale, n=n, robust=robust, iters=iters,
+                final_row=final_row, want_vecs=want_vecs,
+            )
+            if want_vecs:
+                out, vecs = res
+                k_v = vecs.shape[0]
+                vec_ref[gi, hh] = jnp.pad(vecs, ((0, _VEC_ROWS - k_v), (0, 0)))
+            else:
+                out = res
+            outs.append(out)
+        block = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+        o_ref[gi] = block[:n].astype(o_ref.dtype)
+
+
+def _bwd_kernel(*refs, scale, n, n_pad, d, robust, iters, final_row, g, hpb,
+                has_vecs, n_vecs):
+    if has_vecs:
+        q_ref, k_ref, v_ref, g_ref, vec_ref, dq_ref, dk_ref, dv_ref = refs
+    else:
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+        vec_ref = None
+    for gi in range(g):
+        qb = jnp.pad(q_ref[gi], ((0, n_pad - n), (0, 0)))
+        kb = jnp.pad(k_ref[gi], ((0, n_pad - n), (0, 0)))
+        vb = jnp.pad(v_ref[gi], ((0, n_pad - n), (0, 0)))
+        gb = jnp.pad(g_ref[gi], ((0, n_pad - n), (0, 0)))
+        dqs, dks, dvs = [], [], []
+        for hh in range(hpb):
+            sl = slice(hh * d, (hh + 1) * d)
+            dq, dk, dv = _bwd_math_manual(
+                qb[:, sl], kb[:, sl], vb[:, sl], gb[:, sl],
+                scale=scale, n=n, robust=robust, iters=iters,
+                final_row=final_row,
+                vecs=None if vec_ref is None else vec_ref[gi, hh, :n_vecs],
+            )
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        cat = (lambda ts: ts[0]) if hpb == 1 else (
+            lambda ts: jnp.concatenate(ts, axis=-1)
+        )
+        dq_ref[gi] = cat(dqs)[:n].astype(dq_ref.dtype)
+        dk_ref[gi] = cat(dks)[:n].astype(dk_ref.dtype)
+        dv_ref[gi] = cat(dvs)[:n].astype(dv_ref.dtype)
+
+
+def _qkv_specs(head_groups: int, width: int, n: int, g: int):
+    """Three views over the SAME packed [B, N, 3·H·D] operand: block index
+    units on the last axis are ``width``-sized chunks, so the q/k/v slices
+    of head-group j live at chunk offsets j, HG+j, 2·HG+j."""
+    return [
+        pl.BlockSpec((g, n, width), lambda i, j, off=off: (i, 0, off + j),
+                     memory_space=pltpu.VMEM)
+        for off in (0, head_groups, 2 * head_groups)
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "dim_head", "scale", "robust", "iters",
+                     "final_row", "interpret"),
+)
+def _packed_fwd_impl(qkv, heads, dim_head, scale, robust, iters, final_row,
+                     interpret=False):
+    b, n, _ = qkv.shape
+    d = dim_head
+    hpb = _heads_per_block(d)
+    width = _block_width(d)
+    head_groups = heads // hpb
+    n_pad = _round_up(n, _LANE)
+    # per-image unrolled scratch (hpb heads): ~2 N² f32 each + [n_pad, d] tiles
+    per_image = hpb * (2 * n_pad * n_pad * 4 + 8 * n_pad * d * 4)
+    if robust:
+        per_image += hpb * n_pad * n_pad * 4
+    g = _pick_batch_group(b, per_image, budget=12 * 1024 * 1024)
+    want_vecs = bool(robust)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
+        iters=iters, final_row=final_row, g=g, hpb=hpb, want_vecs=want_vecs,
+    )
+    out_specs = pl.BlockSpec((g, n, width), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n, heads * d), qkv.dtype)
+    if want_vecs:
+        out_specs = (out_specs, pl.BlockSpec(
+            (g, hpb, _VEC_ROWS, n_pad), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (b, heads, _VEC_ROWS, n_pad), jnp.float32))
+    res = pl.pallas_call(
+        kernel,
+        grid=(b // g, head_groups),
+        in_specs=_qkv_specs(head_groups, width, n, g),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=b * heads * 4 * n_pad * n_pad * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize
+            + b * n * heads * d * qkv.dtype.itemsize,
+            transcendentals=b * heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return res if want_vecs else (res, None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "dim_head", "scale", "robust", "iters",
+                     "final_row", "interpret"),
+)
+def _packed_bwd_impl(qkv, dout, heads, dim_head, scale, robust, iters,
+                     final_row, interpret=False, vecs=None):
+    b, n, _ = qkv.shape
+    d = dim_head
+    hpb = _heads_per_block(d)
+    width = _block_width(d)
+    head_groups = heads // hpb
+    n_pad = _round_up(n, _LANE)
+    # hand-derived backward keeps ~4 N² f32 buffers live per image-head
+    per_image = hpb * ((5 if robust else 4) * n_pad * n_pad * 4
+                       + 12 * n_pad * d * 4)
+    g = _pick_batch_group(b, per_image, budget=12 * 1024 * 1024)
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
+        iters=iters, final_row=final_row, g=g, hpb=hpb,
+        has_vecs=vecs is not None, n_vecs=_num_vecs(iters, final_row),
+    )
+    spec = pl.BlockSpec((g, n, width), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    in_specs = _qkv_specs(head_groups, width, n, g) + [spec]
+    operands = [qkv, qkv, qkv, dout]
+    if vecs is not None:
+        in_specs.append(pl.BlockSpec(
+            (g, hpb, _VEC_ROWS, n_pad), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(vecs)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b // g, head_groups),
+        in_specs=in_specs,
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, n, heads * d), qkv.dtype) for _ in range(3)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * heads * 10 * n_pad * n_pad * d,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(*operands)
+    # dqkv in the packed q|k|v chunk layout ``to_qkv`` produced
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def packed_attention(qkv, heads, dim_head, scale, robust=False,
+                     sinkhorn_iters=3, final_row_norm=True, interpret=False):
+    """Fused multi-head attention over a packed ``[B, N, 3·H·D]`` qkv tensor
+    (q|k|v chunk order). Returns ``[B, N, H·D]``. ``robust=True`` applies
+    softmax + Sinkhorn renormalization (ref utils.py:1025-1037) instead of
+    plain softmax (ref simple_vit.py:64-76)."""
+    out, _ = _packed_fwd_impl(qkv, heads, dim_head, scale, robust,
+                              sinkhorn_iters, final_row_norm, interpret)
+    return out
+
+
+def _packed_attention_fwd(qkv, heads, dim_head, scale, robust, sinkhorn_iters,
+                          final_row_norm, interpret):
+    out, vecs = _packed_fwd_impl(qkv, heads, dim_head, scale, robust,
+                                 sinkhorn_iters, final_row_norm, interpret)
+    return out, (qkv, vecs)
+
+
+def _packed_attention_bwd(heads, dim_head, scale, robust, sinkhorn_iters,
+                          final_row_norm, interpret, res, g):
+    qkv, vecs = res
+    return (_packed_bwd_impl(qkv, g, heads, dim_head, scale, robust,
+                             sinkhorn_iters, final_row_norm, interpret,
+                             vecs=vecs),)
+
+
+packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
+
+
+def packed_attention_supported(n: int, dim_head: int, heads: int,
+                               batch: int) -> bool:
+    """Shape gate for the packed kernel (caller falls back to the XLA path):
+    head width must tile 128 lanes exactly and heads must fill whole blocks."""
+    if dim_head < _LANE and (_LANE % dim_head != 0 or dim_head % 8 != 0):
+        return False
+    if dim_head >= _LANE and dim_head % _LANE != 0:
+        return False
+    if heads % _heads_per_block(dim_head) != 0:
+        return False
+    return _round_up(n, _LANE) <= _MAX_N_PAD and batch >= 1

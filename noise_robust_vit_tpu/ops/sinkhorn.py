@@ -35,6 +35,7 @@ def sinkhorn_scalings(
     num_iters: int = 3,
     final_row_norm: bool = True,
     assume_row_stochastic: bool = False,
+    constrain=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Sinkhorn row/column scaling vectors — the O(N·iters) form.
 
@@ -63,6 +64,7 @@ def sinkhorn_scalings(
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
+    cons = constrain or (lambda t: t)
     b = jnp.ones(attn.shape[:-2] + (attn.shape[-1],), attn.dtype)
     a = jnp.ones(attn.shape[:-2] + (attn.shape[-2],), attn.dtype)
     for i in range(num_iters):
@@ -73,10 +75,10 @@ def sinkhorn_scalings(
             # flag when differentiation happens through the softmax.
             pass
         else:
-            a = _recip(jnp.einsum("...nm,...m->...n", attn, b))
-        b = _recip(jnp.einsum("...nm,...n->...m", attn, a))
+            a = cons(_recip(jnp.einsum("...nm,...m->...n", attn, b)))
+        b = cons(_recip(jnp.einsum("...nm,...n->...m", attn, a)))
     if final_row_norm:
-        a = _recip(jnp.einsum("...nm,...m->...n", attn, b))
+        a = cons(_recip(jnp.einsum("...nm,...m->...n", attn, b)))
     return a, b
 
 

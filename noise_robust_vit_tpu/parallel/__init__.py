@@ -14,11 +14,27 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .distributed import (
+    global_mesh,
+    init_distributed,
+    local_batch_to_global,
+    process_info,
+)
 from .fsdp import fsdp_param_shardings, shard_params_fsdp
-from .tp import DEFAULT_TP_RULES, shard_params, tp_param_shardings
+from .tp import (
+    DEFAULT_TP_RULES,
+    constrain_activation,
+    shard_params,
+    tp_param_shardings,
+    tp_shardings_active,
+)
 
 __all__ = [
     "batch_sharding",
+    "global_mesh",
+    "init_distributed",
+    "local_batch_to_global",
+    "process_info",
     "fsdp_param_shardings",
     "shard_params_fsdp",
     "local_mesh",
@@ -26,6 +42,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "DEFAULT_TP_RULES",
+    "constrain_activation",
     "shard_params",
     "tp_param_shardings",
+    "tp_shardings_active",
 ]

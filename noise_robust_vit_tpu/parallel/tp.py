@@ -12,13 +12,52 @@ params are simply ``device_put`` with those shardings before ``jit``.
 
 from __future__ import annotations
 
+import contextlib
 import re
+import threading
 from typing import Any, Sequence
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["DEFAULT_TP_RULES", "tp_param_shardings", "shard_params"]
+__all__ = [
+    "DEFAULT_TP_RULES",
+    "tp_param_shardings",
+    "shard_params",
+    "tp_shardings_active",
+    "constrain_activation",
+]
+
+_TP_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def tp_shardings_active(mesh: Mesh):
+    """While active (around the jit TRACE of a step), attention modules pin
+    their head-sharded activations with ``with_sharding_constraint`` so the
+    GSPMD partitioner keeps the Megatron layout instead of thrashing
+    reshards (round-1 weak spot: involuntary full rematerialization
+    warnings on every attention broadcast/div/transpose). Also valid for
+    data-only meshes (FSDP/DP): axes missing from the mesh degrade to
+    replicated, pinning activations batch-sharded."""
+    prev = getattr(_TP_CTX, "mesh", None)
+    _TP_CTX.mesh = mesh
+    try:
+        yield
+    finally:
+        _TP_CTX.mesh = prev
+
+
+def constrain_activation(x, *axes: str | None):
+    """``with_sharding_constraint(x, P(*axes))`` against the active TP mesh;
+    identity when no TP mesh is active. Axis names not present in the mesh
+    degrade to ``None`` (replicated) so specs can mention 'data' freely."""
+    mesh = getattr(_TP_CTX, "mesh", None)
+    if mesh is None:
+        return x
+    spec = P(*[a if (a is None or a in mesh.axis_names) else None
+               for a in axes])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 # (module-path regex, PartitionSpec for the kernel). First match wins;
 # biases of column-parallel layers shard with their kernel's output axis.

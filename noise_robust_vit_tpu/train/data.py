@@ -43,9 +43,12 @@ def make_loader(
     """Loader dispatch: decoded-on-the-fly ``ImageFolderLoader`` for
     ``ImageFolderDataset``; in-memory/memmap ``DataLoader`` otherwise.
 
-    ``shard`` defaults to this process's (index, count) — single-process runs
-    get (0, 1); under ``jax.distributed`` each host reads a disjoint slice
-    (the FFCV world_size sharding role, ref randomlabel.py:72-77).
+    ``batch_size`` is the GLOBAL batch (the reference's ``--batch-size``
+    semantics: per-device = global/world, ref CIFAR100.py:22-39). ``shard``
+    defaults to this process's (index, count) — single-process runs get
+    (0, 1); under ``jax.distributed`` each host reads a disjoint slice and
+    yields ``batch_size // process_count`` samples per step (the FFCV
+    world_size sharding role, ref randomlabel.py:72-77).
     """
     from .image_data import ImageFolderDataset, ImageFolderLoader
 
@@ -53,6 +56,12 @@ def make_loader(
         import jax
 
         shard = (jax.process_index(), jax.process_count())
+    if shard[1] > 1:
+        if batch_size % shard[1]:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process count {shard[1]}"
+            )
+        batch_size //= shard[1]
     if isinstance(dataset, ImageFolderDataset):
         return ImageFolderLoader(
             dataset,

@@ -177,6 +177,13 @@ class Trainer:
 
     def _shard_batch(self, batch):
         sharding = batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # multi-host: each process holds its shard of the global batch
+            # (loaders shard by process_index — train/data.py::make_loader);
+            # assemble the global array from the local slices
+            from ..parallel.distributed import local_batch_to_global
+
+            return local_batch_to_global(batch, sharding)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), batch
         )
@@ -204,6 +211,12 @@ class Trainer:
 
     def setup(self):
         """Build mesh, loaders, model, optimizer, state, jitted steps."""
+        from ..parallel import init_distributed
+
+        # env-driven multi-process init (no-op single process) — the
+        # reference's init_distributed_mode role (evaluate_copy_detection.py:
+        # 117-150); after this jax.devices() spans every process's chips
+        init_distributed()
         if self.mesh is None:
             self.mesh = local_mesh()
         self.train_loader = self.initialize_train_loader()

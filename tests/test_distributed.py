@@ -1,0 +1,80 @@
+"""Multi-process launch path: 2 jax.distributed processes × 4 virtual CPU
+devices run one DP train step over a global 8-device mesh with per-process
+batch shards; the loss must match the single-process result (the reference's
+three-mode init_distributed_mode, ref evaluate_copy_detection.py:117-150)."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests._distributed_common import run_one_step
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_step_matches_single_process():
+    repo = Path(__file__).resolve().parent.parent
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "_distributed_worker.py"),
+             str(rank), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=repo,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        outs.append(out)
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("WORKER_LOSS")]
+        assert lines, f"no loss line in: {out}"
+        losses.append(float(lines[0].split()[1]))
+    # both processes see the same replicated loss
+    assert abs(losses[0] - losses[1]) < 1e-6
+
+    # single-process reference on the test process's 8 virtual devices
+    import jax
+
+    from noise_robust_vit_tpu.parallel import batch_sharding, local_mesh
+
+    mesh = local_mesh()
+    sharding = batch_sharding(mesh)
+
+    def put(batch):
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    ref = run_one_step(put)
+    np.testing.assert_allclose(losses[0], ref, atol=1e-5)
+
+
+def test_init_distributed_single_process_fallback(monkeypatch):
+    """No env vars → (0, 1) and no distributed init (the reference's
+    single-GPU fallback, ref evaluate_copy_detection.py:129-136)."""
+    for var in ("COORDINATOR_ADDRESS", "MASTER_ADDR", "WORLD_SIZE",
+                "SLURM_NTASKS"):
+        monkeypatch.delenv(var, raising=False)
+    from noise_robust_vit_tpu.parallel import init_distributed
+
+    assert init_distributed() == (0, 1)
+
+
+def test_slurm_nodelist_parsing():
+    from noise_robust_vit_tpu.parallel.distributed import _first_slurm_host
+
+    assert _first_slurm_host("node1") == "node1"
+    assert _first_slurm_host("node[3-7]") == "node3"
+    assert _first_slurm_host("gpu[12,15-17],cpu[1-2]") == "gpu12"
+    assert _first_slurm_host("a1,b2") == "a1"
