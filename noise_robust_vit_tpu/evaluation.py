@@ -22,6 +22,8 @@ __all__ = [
     "compute_ap",
     "compute_map",
     "extract_features",
+    "CopydaysBlocks",
+    "copydays_eval",
 ]
 
 
@@ -120,6 +122,72 @@ def compute_map(ranks: np.ndarray, gnd: list[dict], kappas=()):
             prs[i, j] = (pos < kappa).sum() / kq
     mAP = mAP / max(nq - nempty, 1)
     return mAP, aps, prs.mean(axis=0) if len(kappas) else None
+
+
+class CopydaysBlocks:
+    """INRIA Copydays on-disk protocol (ref evaluate_copy_detection.py:153-181):
+    per-distortion query blocks (``original``, ``strong``, ``jpegqual/Q``,
+    ``crops/C``), database = the ``original`` block (+distractors appended by
+    the caller). Block sizes derive from the actual listings (157/229 on the
+    real dataset — the reference hardcodes those; deriving is the intent)."""
+
+    BLOCK_NAMES = (
+        ["original", "strong"]
+        + ["jpegqual/%d" % i for i in [3, 5, 8, 10, 15, 20, 30, 50, 75]]
+        + ["crops/%d" % i for i in [10, 15, 20, 30, 40, 50, 60, 70, 80]]
+    )
+
+    def __init__(self, basedir):
+        from pathlib import Path
+
+        self.basedir = Path(basedir)
+        self.block_names = [
+            b for b in self.BLOCK_NAMES if (self.basedir / b).is_dir()
+        ]
+        if "original" not in self.block_names:
+            raise FileNotFoundError(f"no original/ block under {basedir}")
+
+    def block_files(self, name: str) -> list:
+        d = self.basedir / name
+        return sorted(p for p in d.iterdir() if p.suffix.lower() == ".jpg")
+
+
+def copydays_eval(
+    ids: np.ndarray,
+    block_names: list[str],
+    block_sizes: list[int],
+    original_names: list[str],
+    strong_names: list[str] | None = None,
+) -> dict[str, float]:
+    """Per-distortion-block mAP over concatenated query blocks
+    (ref evaluate_copy_detection.py:184-211 ``eval_result``).
+
+    ``ids``: [num_queries_total, k] ranked database indices (database order =
+    originals first, distractors after — distractor hits are negatives by
+    construction). Every non-``strong`` block maps query j → positive {j}
+    (same sorted order as originals); ``strong`` queries match originals by
+    4-char filename prefix (ref :193-201).
+    """
+    out = {}
+    j0 = 0
+    for name, size in zip(block_names, block_sizes):
+        block_ids = ids[j0 : j0 + size]
+        if name != "strong":
+            positives_per_query = [[q] for q in range(size)]
+        else:
+            positives_per_query = [
+                [j for j, bname in enumerate(original_names)
+                 if bname[:4] == qname[:4]]
+                for qname in (strong_names or [])
+            ]
+        sum_ap = 0.0
+        for qno, row in enumerate(block_ids):
+            positives = positives_per_query[qno]
+            ranks = [rank for rank, bno in enumerate(row) if bno in positives]
+            sum_ap += compute_ap(np.asarray(ranks), len(positives))
+        out[name] = sum_ap / max(size, 1)
+        j0 += size
+    return out
 
 
 def extract_features(apply_fn, loader, mesh=None) -> tuple[np.ndarray, np.ndarray]:

@@ -213,17 +213,48 @@ class TestEvaluationUtilities:
         expected = ((1.0 + 1.0) / 2 + (1 / 2 + 2 / 3) / 2) / 2
         assert mAP == pytest.approx(expected)
 
+    def test_copydays_eval_constructed_ground_truth(self):
+        """Per-block mAP on hand-constructed rankings
+        (ref evaluate_copy_detection.py:184-211)."""
+        from noise_robust_vit_tpu.evaluation import copydays_eval
+
+        # Holidays trapezoid AP for a single positive at rank r:
+        # (precision_0 + precision_1)/2 = ([r==0] + 1/(r+1))/2
+        # → rank 0: 1.0, rank 1: 0.25, rank 2: 1/6
+        ids = np.array([
+            [0, 9, 8], [1, 9, 8], [9, 2, 8],
+            # block 'strong': 2 queries matching originals by 4-char prefix
+            [0, 9, 8],          # positive {0} at rank 0 → AP 1.0
+            [9, 8, 1],          # positive {1} at rank 2 → AP 1/6
+        ])
+        originals = ["200000.jpg", "200100.jpg", "200200.jpg"]
+        strongs = ["200000_a.jpg", "200100_a.jpg"]
+        out = copydays_eval(
+            ids, ["original", "strong"], [3, 2], originals, strongs
+        )
+        assert out["original"] == pytest.approx((1.0 + 1.0 + 0.25) / 3)
+        assert out["strong"] == pytest.approx((1.0 + 1 / 6) / 2)
+
     @pytest.mark.slow
     def test_copy_detection_pipeline(self, tmp_path):
         import evaluate_copy_detection as cd
 
         args = SimpleNamespace(
-            architecture="tiny_vit_test" if False else "simple_vit",
-            dataset="synthetic", dataset_path=None, checkpoint=None,
-            batch_size=32, pca_dim=32, topk=10, folder=tmp_path,
+            architecture="simple_vit", dataset="synthetic",
+            copydays_path=None, distractors_path=None, whitening_path=None,
+            checkpoint=None, batch_size=32, topk=10, folder=tmp_path,
         )
         res = cd.main(args)
-        assert 0.0 <= res["mAP"] <= 1.0
+        per_block = res["per_block_mAP"]
+        # synthetic tree has these blocks
+        for name in ("original", "strong", "jpegqual/75", "crops/80"):
+            assert name in per_block
+            assert 0.0 <= per_block[name] <= 1.0
+        # original queries ARE the database images: identical features ⇒
+        # rank-0 hits ⇒ perfect mAP even with random weights
+        assert per_block["original"] > 0.95
+        # JSON artifact written
+        assert (tmp_path / "copy_detection.json").exists()
 
     @pytest.mark.slow
     def test_image_retrieval_pipeline(self, tmp_path):
