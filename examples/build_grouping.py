@@ -68,4 +68,7 @@ if __name__ == "__main__":
     parser.add_argument("--niter", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", type=Path, default=None)
+    from noise_robust_vit_tpu.train.config import honor_platform_env
+
+    honor_platform_env()
     main(parser.parse_args())

@@ -49,12 +49,19 @@ class Model(Trainer):
         x = jnp.asarray(sample_batch["image"], jnp.float32)
         k1, k2 = jax.random.split(self.next_rng())
         base = self.backbone.init(k1, x)
+        cap = self.args.max_num_models
         self.member_variables = []
-        for ckpt in self.args.checkpoints or []:
+        for ckpt in (self.args.checkpoints or [])[:cap]:
             restored = restore_checkpoint(ckpt, base)
             self.member_variables.append(restored if restored is not None else base)
         if not self.member_variables:
-            self.member_variables = [base]
+            # no checkpoints: N independently-initialized members stand in for
+            # the reference's pretrained model glob (ref :60-70 truncates the
+            # glob at --max-num-models)
+            self.member_variables = [
+                self.backbone.init(k, x)
+                for k in jax.random.split(k1, max(1, cap))
+            ]
         feats = jnp.concatenate(
             [
                 self.backbone.apply(v, x, return_features=True)
@@ -96,6 +103,8 @@ def build_parser():
     parser = argparse.ArgumentParser(description="ensemble linear probe")
     parser.add_argument("--dataset", type=str, default="CIFAR100")
     parser.add_argument("--checkpoints", type=Path, nargs="*", default=None)
+    parser.add_argument("--max-num-models", type=int, default=1,
+                        help="cap on ensemble size (ref many_to_ffcv_dataset)")
     parser.add_argument("--strength", type=int, default=0, choices=[0, 1, 2, 3])
     return parser
 

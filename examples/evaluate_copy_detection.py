@@ -235,4 +235,7 @@ def build_parser():
 
 
 if __name__ == "__main__":
+    from noise_robust_vit_tpu.train.config import honor_platform_env
+
+    honor_platform_env()
     main(build_parser().parse_args())

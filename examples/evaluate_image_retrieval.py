@@ -104,4 +104,7 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint", type=Path, default=None)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--folder", type=Path, default=None)
+    from noise_robust_vit_tpu.train.config import honor_platform_env
+
+    honor_platform_env()
     main(parser.parse_args())

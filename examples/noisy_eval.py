@@ -86,4 +86,7 @@ if __name__ == "__main__":
                         default=[0.0, 0.1, 0.2, 0.4, 0.8])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--folder", type=Path, default=None)
+    from noise_robust_vit_tpu.train.config import honor_platform_env
+
+    honor_platform_env()
     main(parser.parse_args())

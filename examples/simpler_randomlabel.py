@@ -54,6 +54,29 @@ class IndexEncoder(nn.Module):
         return nn.Dense(self.out_dim, name="out")(x)
 
 
+class Projector(nn.Module):
+    """MLP projector ahead of the instance classifier (ref :136-155): depth 0
+    is a plain Linear; otherwise Linear(fan_in, w) + depth × [BN, ReLU,
+    Linear(w, w, no-bias)] with the last no-bias Linear replaced by
+    Linear(w, out_dim) (the reference pops it)."""
+
+    out_dim: int
+    width: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.depth == 0:
+            return nn.Dense(self.out_dim)(x)
+        x = nn.Dense(self.width)(x)
+        for i in range(self.depth):
+            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            x = nn.relu(x)
+            if i < self.depth - 1:
+                x = nn.Dense(self.width, use_bias=False)(x)
+        return nn.Dense(self.out_dim)(x)
+
+
 class Model(Trainer):
     def initialize_train_loader(self):
         args = self.args
@@ -138,7 +161,9 @@ class Model(Trainer):
         self.classifier = nn.Dense(self.num_classes)
         cl = self.classifier.init(keys[1], feats)
         out_dim = args.clip_output_dim if args.clip else self.train_samples
-        self.extra_classifier = nn.Dense(out_dim)
+        self.extra_classifier = Projector(
+            out_dim, args.projector_width, args.projector_depth
+        )
         ec = self.extra_classifier.init(keys[2], feats)
         variables = {}
         parts = {"backbone": bb, "classifier": cl, "extra_classifier": ec}
@@ -167,6 +192,20 @@ class Model(Trainer):
             None,
         )
 
+    def _project(self, params, model_state, feats, train):
+        """Instance projector/classifier apply; mutable BN stats when the
+        projector is an MLP (ref :136-155)."""
+        ec_state = {
+            c: s["extra_classifier"]
+            for c, s in model_state.items() if "extra_classifier" in s
+        }
+        variables = {"params": params["extra_classifier"], **ec_state}
+        if train and self.args.projector_depth > 0:
+            return self.extra_classifier.apply(
+                variables, feats, deterministic=False, mutable=["batch_stats"]
+            )
+        return self.extra_classifier.apply(variables, feats), None
+
     def compute_loss(self, params, model_state, batch, rng):
         args = self.args
         k_aug, k_drop = jax.random.split(rng)
@@ -174,7 +213,7 @@ class Model(Trainer):
         labels = batch["label"]
         feats, bb_upd = self._features(params, model_state, x, True, k_drop)
 
-        def merge_state(extra=None):
+        def merge_state(*extras):
             # structure must match the initial model_state exactly: only
             # overwrite children that already exist
             out = {}
@@ -182,8 +221,9 @@ class Model(Trainer):
                 out[col] = dict(s)
                 if bb_upd and col in bb_upd and "backbone" in s:
                     out[col]["backbone"] = bb_upd[col]
-                if extra and col in extra[1] and extra[0] in s:
-                    out[col][extra[0]] = extra[1][col]
+                for extra in extras:
+                    if extra and extra[1] and col in extra[1] and extra[0] in s:
+                        out[col][extra[0]] = extra[1][col]
             return out
 
         if args.supervised:
@@ -210,9 +250,7 @@ class Model(Trainer):
                 {"params": params["index_encoding"], **ie_state}, bits,
                 deterministic=False, mutable=["batch_stats"],
             )
-            proj = self.extra_classifier.apply(
-                {"params": params["extra_classifier"]}, feats
-            )
+            proj, ec_upd = self._project(params, model_state, feats, True)
 
             def norm(t):
                 return t / jnp.clip(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
@@ -225,16 +263,15 @@ class Model(Trainer):
             loss_t = optax.softmax_cross_entropy(sim.astype(jnp.float32), onehot).mean()
             loss_i = optax.softmax_cross_entropy(sim.T.astype(jnp.float32), onehot).mean()
             other = (loss_t + loss_i) / 2
-            new_state = merge_state(("index_encoding", ie_upd))
+            new_state = merge_state(("index_encoding", ie_upd),
+                                    ("extra_classifier", ec_upd))
         else:
-            inst = self.extra_classifier.apply(
-                {"params": params["extra_classifier"]}, feats
-            )
+            inst, ec_upd = self._project(params, model_state, feats, True)
             onehot = optax.smooth_labels(
                 jax.nn.one_hot(z, self.train_samples), args.label_smoothing
             )
             other = optax.softmax_cross_entropy(inst.astype(jnp.float32), onehot).mean()
-            new_state = merge_state()
+            new_state = merge_state(("extra_classifier", ec_upd))
         return other + true_loss, {
             "metrics": {"inst_loss": other, "probe_loss": true_loss},
             "model_state": new_state,
@@ -270,6 +307,8 @@ def build_parser():
     parser.add_argument("--indices-from", type=Path, default=None)
     parser.add_argument("--lr-scaling", type=float, default=1.0)
     parser.add_argument("--wd-scaling", type=float, default=1.0)
+    parser.add_argument("--projector-depth", type=int, default=0)
+    parser.add_argument("--projector-width", type=int, default=1024)
     return parser
 
 

@@ -55,4 +55,7 @@ if __name__ == "__main__":
     parser.add_argument("--n", type=int, default=6)
     parser.add_argument("--noise-std", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
+    from noise_robust_vit_tpu.train.config import honor_platform_env
+
+    honor_platform_env()
     main(parser.parse_args())

@@ -38,9 +38,15 @@ NAME_TO_CLASS: dict[str, tuple[int, int]] = {
     "CIFAR100": (100, 32),
     "TinyImageNet": (200, 64),
     "ImageNet": (1000, 224),
+    "ImageNet100": (100, 224),
+    "INaturalist": (10000, 224),
     "Food101": (101, 224),
     "FGVCAircraft": (100, 224),
     "OxfordIIITPet": (37, 224),
+    "StanfordCars": (196, 224),
+    "Flowers102": (102, 224),
+    "DTD": (47, 224),
+    "CUB_200_2011": (200, 224),
     "synthetic": (100, 32),
 }
 

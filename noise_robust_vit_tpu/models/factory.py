@@ -272,6 +272,23 @@ def _register_builtins():
             mlp_dim=kw.pop("mlp_dim", 1024), robust=robust, dtype=dtype, **kw,
         )
 
+    @register_model("vit_tiny_test")
+    def _vit_tiny_test(num_classes, image_size, robust, dtype, **kw):
+        """Minimal ViT for smoke cells (sweep one-cell tests, CI): compiles
+        in seconds on CPU at any image size."""
+        return SimpleViT(
+            image_size=image_size,
+            patch_size=kw.pop("patch_size", 8 if image_size <= 64 else 16),
+            num_classes=num_classes,
+            dim=kw.pop("dim", 32),
+            depth=kw.pop("depth", 1),
+            heads=kw.pop("heads", 2),
+            mlp_dim=kw.pop("mlp_dim", 64),
+            robust=robust,
+            dtype=dtype,
+            **kw,
+        )
+
     @register_model("simple_vit")
     def _simple_vit(num_classes, image_size, robust, dtype, **kw):
         """The CPU-runnable baseline config of BASELINE.json (depth-6/dim-512/

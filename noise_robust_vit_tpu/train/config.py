@@ -11,9 +11,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
 
-__all__ = ["make_config", "save_hparams", "find_version"]
+__all__ = ["make_config", "save_hparams", "find_version", "honor_platform_env"]
+
+
+def honor_platform_env() -> None:
+    """Re-assert an explicit ``JAX_PLATFORMS`` env var over any sitecustomize
+    that force-set ``jax_platforms`` at interpreter start (the axon preset
+    pins "axon,cpu"; env vars alone are then ignored — CLAUDE.md env quirks).
+    Called before the backend is initialized, so sweep cells and tests can run
+    experiment scripts on CPU with ``JAX_PLATFORMS=cpu``."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
 
 
 def _str2bool(v):
@@ -60,6 +75,7 @@ def make_config(parser: argparse.Namespace | argparse.ArgumentParser):
     g.add_argument("--timeout-min", type=int, default=0)
     g.add_argument("--slurm-partition", type=str, default="")
     g.add_argument("--process-name", type=str, default="")
+    honor_platform_env()
     args = parser.parse_args()
 
     if args.add_version:

