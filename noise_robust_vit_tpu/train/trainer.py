@@ -22,6 +22,8 @@ TPU design (vs the reference's DDP):
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Any, Iterable
 
@@ -242,6 +244,25 @@ class Trainer:
             self.state = restored
             self.epoch = int(jax.device_get(self.state.step)) // steps_per_epoch
             print(f"resumed from step {int(jax.device_get(self.state.step))}")
+        self._install_preemption_handler()
+
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGUSR1 → checkpoint at the next step boundary and exit
+        143 — the reference's submitit ``slurm_signal_delay_s=120`` grace
+        period (ref examples/CIFAR100.py:205); the relauncher then resumes
+        losslessly from the saved step."""
+        self._preempted = False
+        if threading.current_thread() is not threading.main_thread():
+            return  # signal.signal only works on the main thread
+
+        def request(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, request)
+            except (ValueError, OSError):
+                pass
 
     def run_eval(self) -> dict:
         """Evaluation epoch. Batches are prefetched to device (2-deep, same as
@@ -277,6 +298,13 @@ class Trainer:
                 )
                 self.after_train_step(metrics)
                 last_metrics = metrics
+                if self._preempted:
+                    step = int(jax.device_get(self.state.step))
+                    save_checkpoint(args.folder, self.state, step)
+                    self.log_txt("train_log", epoch=self.epoch, step=step,
+                                 preempted=True)
+                    print(f"preempted: checkpointed step {step}, exiting")
+                    raise SystemExit(143)
             dt = time.perf_counter() - t0
             train_metrics = {
                 k: float(jax.device_get(v)) for k, v in last_metrics.items()

@@ -196,3 +196,54 @@ def test_resume_from_checkpoint(tmp_path):
     m2 = Model(args2)
     m2()
     assert int(jax.device_get(m2.state.step)) == 2 * step1
+
+
+def test_preemption_sigterm_checkpoints_and_resumes(tmp_path):
+    """kill -TERM mid-epoch → checkpoint at the step boundary, exit 143,
+    lossless resume (the reference's submitit slurm_signal_delay_s grace,
+    ref examples/CIFAR100.py:205)."""
+    import os
+    import signal
+
+    from classification import Model
+    from noise_robust_vit_tpu.models.factory import _REGISTRY, register_model
+    from noise_robust_vit_tpu.models import SimpleViT
+    from noise_robust_vit_tpu.train.checkpoint import latest_step
+
+    if "tiny3" not in _REGISTRY:
+        @register_model("tiny3")
+        def _tiny3(num_classes, image_size, robust, dtype, **kw):
+            return SimpleViT(
+                image_size=image_size, patch_size=8, num_classes=num_classes,
+                dim=32, depth=1, heads=2, mlp_dim=64, robust=robust,
+                dtype=dtype,
+            )
+
+    args = _args(tmp_path, epochs=3, architecture="tiny3",
+                 eval_each_epoch=False)
+    m1 = Model(args)
+    orig = m1.after_train_step
+    fired = []
+
+    def hook(metrics):
+        orig(metrics)
+        if m1.epoch == 1 and not fired:  # mid-run, second epoch
+            fired.append(True)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    m1.after_train_step = hook
+    with pytest.raises(SystemExit) as excinfo:
+        m1()
+    assert excinfo.value.code == 143
+    step1 = int(jax.device_get(m1.state.step))
+    assert latest_step(tmp_path) == step1
+    spe = m1._steps_per_epoch
+    assert 0 < step1 < 3 * spe  # genuinely interrupted mid-run
+
+    m2 = Model(_args(tmp_path, epochs=3, architecture="tiny3",
+                     eval_each_epoch=False))
+    m2()  # resumes from the preemption checkpoint and completes
+    step2 = int(jax.device_get(m2.state.step))
+    assert step2 >= 3 * spe
+    # resume started from the checkpointed step, not from scratch
+    assert step2 - step1 < 3 * spe
