@@ -164,25 +164,13 @@ class LevitAttention(nn.Module):
         table = self.param("attention_biases", nn.initializers.zeros, (h, n_off))
         bias = table[:, jnp.asarray(idxs)]  # [h, N, N]
 
-        from ..ops.attention import window_kernel_dispatch
-        from ..ops.pallas.window_attention import fused_window_attention
-
-        out5 = None
-        if window_kernel_dispatch():
-            # single "window" spanning the whole map; bias shared over batch
-            out5 = fused_window_attention(
-                q[:, None], k[:, None], v[:, None],
-                bias.astype(jnp.float32),
-                scale=kd**-0.5, robust=self.robust,
-            )
-        if out5 is not None:
-            out = out5[:, 0]
-        else:
-            attn = jnp.einsum(
-                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-            ) * (kd**-0.5) + bias[None].astype(jnp.float32)
-            attn = robust_softmax(attn, robust=self.robust)
-            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        # XLA's batched GEMMs beat a fused kernel at LeViT's map sizes
+        # (RESULTS.md "windowed kernel: retired")
+        attn = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * (kd**-0.5) + bias[None].astype(jnp.float32)
+        attn = robust_softmax(attn, robust=self.robust)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = nn.hard_swish(out)
         return LinearBN(self.dim, bn_weight_init=0.0, dtype=self.dtype, name="proj")(

@@ -120,27 +120,15 @@ class _WindowAttention(nn.Module):
         bias = table[jnp.asarray(idx)]  # [N, N, H]
         bias_hnn = bias.transpose(2, 0, 1)
 
-        out5 = None
-        if deterministic or self.dropout == 0.0:
-            from ..ops.attention import window_kernel_dispatch
-            from ..ops.pallas.window_attention import fused_window_attention
-
-            if window_kernel_dispatch():
-                out5 = fused_window_attention(
-                    q[:, None], k[:, None], v[:, None],
-                    bias_hnn.astype(jnp.float32),
-                    scale=self.dim_head**-0.5, robust=self.robust,
-                )
-        if out5 is not None:
-            out = out5[:, 0]
-        else:
-            sim = jnp.einsum(
-                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-            ) * (self.dim_head**-0.5)
-            sim = sim + bias_hnn[None].astype(sim.dtype)
-            attn = robust_softmax(sim, robust=self.robust)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        # XLA's batched GEMMs beat a per-window fused kernel at these window
+        # sizes (RESULTS.md "windowed kernel: retired")
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * (self.dim_head**-0.5)
+        sim = sim + bias_hnn[None].astype(sim.dtype)
+        attn = robust_softmax(sim, robust=self.robust)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, self.dim)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)

@@ -150,53 +150,26 @@ class ShiftedWindowAttention(nn.Module):
             )
             idx = jnp.asarray(relative_position_index(wh, ww))
             rel_bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)[None]
-            attn = None  # v1 can take the fused window kernel below
+            attn = None  # v1 computes plain scaled dot-product scores below
 
         mask = shift_attn_mask(ph, pw, (wh, ww), shift)
 
-        from ..ops.attention import window_kernel_dispatch
-
-        use_kernel = (
-            self.version == 1
-            and (deterministic or self.attention_dropout == 0.0)
-            and window_kernel_dispatch()
+        # XLA's batched GEMMs beat a per-window fused kernel at Swin's
+        # window sizes (RESULTS.md "windowed kernel: retired")
+        if attn is None:
+            attn = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * (dh**-0.5)
+        attn = attn + rel_bias.astype(attn.dtype)
+        if mask is not None:
+            attn = attn.reshape(b, num_windows, heads, n, n)
+            attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bw, heads, n, n)
+        attn = robust_softmax(attn, robust=self.robust)
+        attn = nn.Dropout(self.attention_dropout)(
+            attn, deterministic=deterministic
         )
-        out5 = None
-        if use_kernel:
-            from ..ops.pallas.window_attention import fused_window_attention
-
-            # bias shared across the batch: rel-pos bias (+ shift mask)
-            bias_total = jnp.broadcast_to(
-                rel_bias[0][None].astype(jnp.float32),
-                (num_windows, heads, n, n),
-            )
-            if mask is not None:
-                bias_total = bias_total + jnp.asarray(mask)[:, None]
-            out5 = fused_window_attention(
-                q.reshape(b, num_windows, heads, n, dh),
-                k.reshape(b, num_windows, heads, n, dh),
-                v.reshape(b, num_windows, heads, n, dh),
-                bias_total.reshape(num_windows * heads, n, n),
-                scale=dh**-0.5,
-                robust=self.robust,
-            )
-        if out5 is not None:
-            out = out5.reshape(bw, heads, n, dh)
-        else:
-            if attn is None:
-                attn = jnp.einsum(
-                    "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-                ) * (dh**-0.5)
-            attn = attn + rel_bias.astype(attn.dtype)
-            if mask is not None:
-                attn = attn.reshape(b, num_windows, heads, n, n)
-                attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
-                attn = attn.reshape(bw, heads, n, n)
-            attn = robust_softmax(attn, robust=self.robust)
-            attn = nn.Dropout(self.attention_dropout)(
-                attn, deterministic=deterministic
-            )
-            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         out = nn.Dense(
             self.dim, use_bias=self.proj_bias, dtype=self.dtype,

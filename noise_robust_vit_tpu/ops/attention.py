@@ -92,15 +92,6 @@ def packed_attention(qkv, heads, dim_head, *, scale=None, robust=False,
                  int(sinkhorn_iters), bool(final_row_norm))
 
 
-def window_kernel_dispatch() -> bool:
-    """Dispatch policy for the WINDOWED fused kernel: opt-in only
-    (``set_use_pallas(True)``). Measured on v5e, XLA's batched GEMMs beat the
-    per-window kernel for every windowed model in the zoo (swin_t robust
-    491 vs 185 img/s; LeViT_128S robust 4921 vs 4226) — the kernel remains
-    available for large-window regimes and other hardware."""
-    return _USE_PALLAS is True
-
-
 def attention_weights(
     q: jax.Array,
     k: jax.Array,

@@ -220,66 +220,6 @@ class TestSimpleViT:
         np.testing.assert_allclose(np.asarray(attns[0].sum(-1)), 1.0, rtol=1e-4)
 
 
-class TestWindowKernel:
-    def test_interpret_matches_xla(self, rng):
-        """Fused window-attention kernels (fwd + both bwd kernels) vs the
-        XLA composition, interpret mode, tiny shapes."""
-        import functools
-        import unittest.mock as mock
-
-        from noise_robust_vit_tpu.ops.pallas import window_attention as wa
-        from noise_robust_vit_tpu.ops import sinkhorn_normalize
-
-        B, W, H, N, D = 2, 2, 2, 12, 8
-        ks = jax.random.split(rng, 5)
-        q, k, v = (jax.random.normal(kk, (B, W, H, N, D)) for kk in ks[:3])
-        bias = jax.random.normal(ks[3], (W * H, N, N))
-        gout = jax.random.normal(ks[4], (B, W, H, N, D))
-
-        def xla_ref(q, k, v, bias, robust):
-            logits = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k) * (D**-0.5)
-            logits = logits + bias.reshape(1, W, H, N, N)
-            attn = jax.nn.softmax(logits, -1)
-            if robust:
-                attn = sinkhorn_normalize(attn, 3, True)
-            return jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
-
-        with mock.patch.object(wa.pl, "pallas_call", _interpreted(wa.pl.pallas_call)):
-            for robust in (False, True):
-                got = wa._window_attention_op(
-                    q, k, v, bias, D**-0.5, robust, 3, True
-                )
-                ref = xla_ref(q, k, v, bias, robust)
-                np.testing.assert_allclose(
-                    np.asarray(got), np.asarray(ref), atol=5e-4
-                )
-                gr = jax.grad(
-                    lambda *a: jnp.sum(xla_ref(*a, robust) * gout),
-                    argnums=(0, 1, 2, 3),
-                )(q, k, v, bias)
-                gp = jax.grad(
-                    lambda *a: jnp.sum(
-                        wa._window_attention_op(*a, D**-0.5, robust, 3, True)
-                        * gout
-                    ),
-                    argnums=(0, 1, 2, 3),
-                )(q, k, v, bias)
-                for a, b in zip(gp, gr):
-                    np.testing.assert_allclose(
-                        np.asarray(a), np.asarray(b), atol=5e-3
-                    )
-
-    def test_dispatch_gate(self, rng):
-        from noise_robust_vit_tpu.ops.pallas.window_attention import (
-            fused_window_attention,
-        )
-
-        q = jnp.zeros((1, 2, 2, 49, 32))
-        bias = jnp.zeros((4, 49, 49))
-        # small windows are gated off (XLA wins there)
-        assert fused_window_attention(q, q, q, bias) is None
-
-
 class TestSinkhornStability:
     def test_starved_key_no_overflow(self, rng):
         """Training can sharpen attention until a key receives ~0 mass; the
