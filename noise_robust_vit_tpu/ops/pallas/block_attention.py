@@ -49,8 +49,13 @@ _MAX_N_PAD = 1536
 _VEC_ROWS = 8
 
 
-def _num_vecs(iters: int, final_row: bool) -> int:
-    return max(iters - 1, 0) + int(final_row) + iters
+def _num_vecs(iters: int, final_row: bool, robust: bool) -> int:
+    """Residual rows: Sinkhorn scaling vectors (robust) + the softmax
+    log-normalizer row (always — lets the backward rebuild attn in one
+    exp pass instead of replaying max/exp/sum/div)."""
+    if not robust:
+        return 1
+    return max(iters - 1, 0) + int(final_row) + iters + 1
 
 
 def _heads_per_block(dim_head: int) -> int:
@@ -150,10 +155,10 @@ def _qkv_specs(head_groups: int, width: int, n: int, g: int):
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "dim_head", "scale", "robust", "iters",
-                     "final_row", "interpret"),
+                     "final_row", "interpret", "want_vecs"),
 )
 def _packed_fwd_impl(qkv, heads, dim_head, scale, robust, iters, final_row,
-                     interpret=False):
+                     interpret=False, want_vecs=False):
     b, n, _ = qkv.shape
     d = dim_head
     hpb = _heads_per_block(d)
@@ -165,7 +170,6 @@ def _packed_fwd_impl(qkv, heads, dim_head, scale, robust, iters, final_row,
     if robust:
         per_image += hpb * n_pad * n_pad * 4
     g = _pick_batch_group(b, per_image, budget=12 * 1024 * 1024)
-    want_vecs = bool(robust)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
         iters=iters, final_row=final_row, g=g, hpb=hpb, want_vecs=want_vecs,
@@ -216,7 +220,7 @@ def _packed_bwd_impl(qkv, dout, heads, dim_head, scale, robust, iters,
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
         iters=iters, final_row=final_row, g=g, hpb=hpb,
-        has_vecs=vecs is not None, n_vecs=_num_vecs(iters, final_row),
+        has_vecs=vecs is not None, n_vecs=_num_vecs(iters, final_row, robust),
     )
     spec = pl.BlockSpec((g, n, width), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
@@ -254,14 +258,16 @@ def packed_attention(qkv, heads, dim_head, scale, robust=False,
     softmax + Sinkhorn renormalization (ref utils.py:1025-1037) instead of
     plain softmax (ref simple_vit.py:64-76)."""
     out, _ = _packed_fwd_impl(qkv, heads, dim_head, scale, robust,
-                              sinkhorn_iters, final_row_norm, interpret)
+                              sinkhorn_iters, final_row_norm, interpret,
+                              want_vecs=False)
     return out
 
 
 def _packed_attention_fwd(qkv, heads, dim_head, scale, robust, sinkhorn_iters,
                           final_row_norm, interpret):
     out, vecs = _packed_fwd_impl(qkv, heads, dim_head, scale, robust,
-                                 sinkhorn_iters, final_row_norm, interpret)
+                                 sinkhorn_iters, final_row_norm, interpret,
+                                 want_vecs=True)
     return out, (qkv, vecs)
 
 

@@ -107,8 +107,7 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
         v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
 
     n_vecs = (max(sinkhorn_iters - 1, 0) + int(final_row_norm)
-              + sinkhorn_iters) if robust else 0
-    want_vecs = want_vecs and n_vecs > 0
+              + sinkhorn_iters + 1) if robust else 1  # +1 / 1: softmax lse row
     # the residual-vector output costs Mosaic extra scoped VMEM per head
     # (concat temporaries) — leave headroom via a smaller group budget
     g = _pick_group(bh, n_pad, max(d_pad, dv_pad), arrays=4,
@@ -193,7 +192,18 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row,
     if needs_mask:
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
         s = jnp.where(col < n, s, -1e9)
-    attn = jax.nn.softmax(s, axis=-1)
+    lse_col = None
+    if want_vecs:
+        # explicit softmax so the log-normalizer lse = m + log r can ride the
+        # residual stack: the backward then rebuilds attn = exp(s − lse) in
+        # ONE VPU pass instead of replaying max/exp/sum/div (round-2 win)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        attn = e * (1.0 / r)
+        lse_col = m + jnp.log(r)
+    else:
+        attn = jax.nn.softmax(s, axis=-1)
     if needs_mask:
         row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
         attn = jnp.where((row < n) & (col < n), attn, 0.0)
@@ -232,14 +242,16 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row,
     )
     if robust:
         out = out * a
-        if want_vecs:
-            # [Ka+Kb, N] stack of the (tiny) scaling vectors — ROW-major so
-            # the lane axis is N (a column layout would pad every vector to
-            # 128 lanes and blow the scoped-VMEM budget); saved as residuals
-            # so the backward kernel skips the forward replay
-            return out, jnp.concatenate(
-                [t.reshape(1, n_pad) for t in a_cols + b_cols], axis=0
-            )
+    if want_vecs:
+        # [Ka+Kb+1, N] stack of the (tiny) scaling vectors (robust only) +
+        # the softmax log-normalizer — ROW-major so the lane axis is N (a
+        # column layout would pad every vector to 128 lanes and blow the
+        # scoped-VMEM budget); saved as residuals so the backward kernel
+        # skips both the scaling replay AND the softmax replay
+        cols = (a_cols + b_cols) if robust else []
+        return out, jnp.concatenate(
+            [t.reshape(1, n_pad) for t in cols + [lse_col]], axis=0
+        )
     return out
 
 
@@ -276,10 +288,22 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
     if needs_mask:
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
         s = jnp.where(col < n, s, -1e9)
-    attn = jax.nn.softmax(s, axis=-1)
-    if needs_mask:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
-        attn = jnp.where((row < n) & (col < n), attn, 0.0)
+    if vecs is not None:
+        # stored log-normalizer: attn = exp(s − lse) in one pass — no
+        # max/sum/div replay. Padded cols are exp(−1e9 − lse) = 0 already;
+        # only padded ROWS (whose lse came from junk logits) need zeroing.
+        # positive static index — a negative index lowers to dynamic_slice,
+        # which Mosaic does not implement
+        lse = vecs[vecs.shape[0] - 1].reshape(n_pad, 1)
+        attn = jnp.exp(s - lse)
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+            attn = jnp.where(row < n, attn, 0.0)
+    else:
+        attn = jax.nn.softmax(s, axis=-1)
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+            attn = jnp.where((row < n) & (col < n), attn, 0.0)
 
     if not robust:
         dv = jax.lax.dot_general(
@@ -504,17 +528,14 @@ def _attention_op(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
 
 
 def _attention_fwd(q, k, v, scale, robust, sinkhorn_iters, final_row_norm):
-    if robust:
-        res = _fused_attention_impl(
-            q, k, v, scale, robust, sinkhorn_iters, final_row_norm,
-            want_vecs=True,
-        )
-        if isinstance(res, tuple):
-            out, vecs = res
-            return out, (q, k, v, vecs)
-        return res, (q, k, v, None)
-    out = _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm)
-    return out, (q, k, v, None)
+    res = _fused_attention_impl(
+        q, k, v, scale, robust, sinkhorn_iters, final_row_norm,
+        want_vecs=True,
+    )
+    if isinstance(res, tuple):
+        out, vecs = res
+        return out, (q, k, v, vecs)
+    return res, (q, k, v, None)
 
 
 def _attention_bwd(scale, robust, sinkhorn_iters, final_row_norm, res, g):
