@@ -180,6 +180,7 @@ class ImageFolderLoader:
         num_workers: int = 8,
         prefetch_batches: int = 4,
         indices: np.ndarray | None = None,
+        use_native: bool | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -194,6 +195,18 @@ class ImageFolderLoader:
         self.indices = (
             np.arange(len(dataset)) if indices is None else np.asarray(indices)
         )
+        # native C++ decode pool (DCT-scaled libjpeg, see native/ingest.cc) —
+        # auto-enabled when the library builds; per-image fallback to the
+        # OpenCV path for non-JPEG/corrupt files
+        self._native = None
+        if use_native is not False:
+            from .native import NativeDecodePool, native_available
+
+            if native_available():
+                self._native = NativeDecodePool(num_workers)
+            elif use_native:
+                raise RuntimeError("use_native=True but the native ingest "
+                                   "library failed to build")
 
     @property
     def num_samples(self):
@@ -226,6 +239,23 @@ class ImageFolderLoader:
             return _random_resized_crop(img, self.image_size, rng)
         return _center_crop(img, self.image_size)
 
+    def _load_batch(self, sel: np.ndarray) -> np.ndarray:
+        """Decode one batch — native C++ pool when available (whole batch in
+        one call, crops written into a single NHWC buffer), OpenCV threads
+        otherwise; native per-image failures fall back to the OpenCV path."""
+        if self._native is not None:
+            paths = [self.dataset.paths[int(i)] for i in sel]
+            base = ((self.seed * 100003 + self.epoch) * 1000003) % (2**64)
+            keys = np.uint64(base) + sel.astype(np.uint64)
+            imgs, status = self._native.decode_batch(
+                paths, self.image_size, self.train, keys
+            )
+            for j in np.nonzero(status)[0]:
+                imgs[j] = self._load_one(int(sel[j]))
+            return imgs
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            return np.stack(list(pool.map(self._load_one, sel)))
+
     def __iter__(self) -> Iterator[dict]:
         order = self._epoch_order()
         nb = len(self)
@@ -236,25 +266,34 @@ class ImageFolderLoader:
 
         error: list[BaseException] = []
 
+        def produce_with(load_batch):
+            for i in range(nb):
+                if stop.is_set():
+                    break
+                sel = order[i * self.batch_size : (i + 1) * self.batch_size]
+                batch = {
+                    "image": load_batch(sel),
+                    "label": self.dataset.labels[sel],
+                    "index": sel.astype(np.int32),
+                }
+                while not stop.is_set():
+                    try:
+                        out_q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for i in range(nb):
-                        if stop.is_set():
-                            break
-                        sel = order[i * self.batch_size : (i + 1) * self.batch_size]
-                        imgs = list(pool.map(self._load_one, sel))
-                        batch = {
-                            "image": np.stack(imgs),
-                            "label": self.dataset.labels[sel],
-                            "index": sel.astype(np.int32),
-                        }
-                        while not stop.is_set():
-                            try:
-                                out_q.put(batch, timeout=0.5)
-                                break
-                            except queue.Full:
-                                continue
+                if self._native is not None:
+                    produce_with(self._load_batch)
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        produce_with(
+                            lambda sel: np.stack(
+                                list(pool.map(self._load_one, sel))
+                            )
+                        )
             except BaseException as e:  # propagate decode errors to consumer
                 error.append(e)
             finally:

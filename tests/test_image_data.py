@@ -138,3 +138,72 @@ def test_make_loader_dispatch(image_tree):
     lo2 = make_loader(arr, 4, train=True, shard=(1, 2))
     assert isinstance(lo2, DataLoader)
     assert len(lo2.indices) == 32
+
+
+class TestNativeIngest:
+    """C++ decode pool (native/ingest.cc) — the FFCV-native role."""
+
+    @pytest.fixture(scope="class")
+    def native(self):
+        from noise_robust_vit_tpu.train.native import (
+            NativeDecodePool,
+            native_available,
+        )
+
+        if not native_available():
+            pytest.skip("native ingest library not buildable here")
+        pool = NativeDecodePool(2)
+        yield pool
+        pool.close()
+
+    def test_val_decode_matches_python_path(self, native, image_tree):
+        from noise_robust_vit_tpu.train.image_data import _center_crop, _decode
+
+        ds = ImageFolderDataset(image_tree / "val")
+        imgs, status = native.decode_batch(ds.paths, 32, False)
+        assert imgs.shape == (len(ds), 32, 32, 3) and imgs.dtype == np.uint8
+        assert (status == 0).all()
+        ref = np.stack([_center_crop(_decode(p), 32) for p in ds.paths])
+        diff = np.abs(ref.astype(np.int16) - imgs.astype(np.int16))
+        # same geometry; bilinear implementations differ by ~1 gray level
+        assert diff.mean() < 3.0
+
+    def test_train_decode_deterministic_per_key(self, native, image_tree):
+        ds = ImageFolderDataset(image_tree / "train")
+        keys = np.arange(len(ds), dtype=np.uint64) + 11
+        a, sa = native.decode_batch(ds.paths, 32, True, keys)
+        b, _ = native.decode_batch(ds.paths, 32, True, keys)
+        np.testing.assert_array_equal(a, b)
+        assert (sa == 0).all()
+        c, _ = native.decode_batch(ds.paths, 32, True, keys + 1)
+        assert not np.array_equal(a, c)
+
+    def test_non_jpeg_flagged_for_fallback(self, native, tmp_path):
+        bad = tmp_path / "not_a_jpeg.jpg"
+        bad.write_bytes(b"PNG-ish garbage")
+        imgs, status = native.decode_batch([bad], 32, False)
+        assert status[0] != 0
+
+    def test_loader_uses_native_with_fallback(self, image_tree, tmp_path):
+        import cv2
+        import shutil
+
+        from noise_robust_vit_tpu.train.native import native_available
+
+        if not native_available():
+            pytest.skip("native ingest library not buildable here")
+        # copy tree and add a PNG (native flags it; OpenCV fallback decodes)
+        root = tmp_path / "train"
+        shutil.copytree(image_tree / "train", root)
+        png_dir = root / "class_0"
+        img = np.random.default_rng(5).integers(0, 255, (40, 40, 3), np.uint8)
+        cv2.imwrite(str(png_dir / "extra.png"), img)
+        ds = ImageFolderDataset(root)
+        loader = ImageFolderLoader(ds, batch_size=5, image_size=32,
+                                   train=False, shuffle=False, num_workers=2)
+        assert loader._native is not None
+        batches = list(loader)
+        assert len(batches) == len(ds) // 5
+        for b in batches:
+            assert b["image"].shape == (5, 32, 32, 3)
+            assert b["image"].std() > 0  # every slot actually decoded
