@@ -130,7 +130,8 @@ def main(args):
     sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(rng, sample)
     if args.checkpoint is not None:
-        restored = restore_checkpoint(args.checkpoint, variables)
+        restored = restore_checkpoint(args.checkpoint, variables,
+                                      key=args.checkpoint_key)
         if restored is not None:
             variables = restored
 
@@ -228,6 +229,9 @@ def build_parser():
     parser.add_argument("--distractors-path", type=Path, default=None)
     parser.add_argument("--whitening-path", type=Path, default=None)
     parser.add_argument("--checkpoint", type=Path, default=None)
+    parser.add_argument("--checkpoint-key", type=str, default=None,
+                        help='sub-tree of the checkpoint, e.g. "teacher" '
+                             "(ref evaluate_copy_detection.py:380-384)")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--topk", type=int, default=20)
     parser.add_argument("--folder", type=Path, default=None)

@@ -37,7 +37,8 @@ def main(args):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, image_size, image_size, 3)))
     if args.checkpoint is not None:
-        restored = restore_checkpoint(args.checkpoint, variables)
+        restored = restore_checkpoint(args.checkpoint, variables,
+                                      key=args.checkpoint_key)
         if restored is not None:
             variables = restored
 
@@ -102,6 +103,7 @@ if __name__ == "__main__":
     parser.add_argument("--dataset", type=str, default="synthetic")
     parser.add_argument("--dataset-path", type=Path, default=None)
     parser.add_argument("--checkpoint", type=Path, default=None)
+    parser.add_argument("--checkpoint-key", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--folder", type=Path, default=None)
     from noise_robust_vit_tpu.train.config import honor_platform_env

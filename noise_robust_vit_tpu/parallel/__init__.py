@@ -19,6 +19,7 @@ from .distributed import (
     init_distributed,
     local_batch_to_global,
     process_info,
+    setup_print_once,
 )
 from .fsdp import fsdp_param_shardings, shard_params_fsdp
 from .tp import (
@@ -35,6 +36,7 @@ __all__ = [
     "init_distributed",
     "local_batch_to_global",
     "process_info",
+    "setup_print_once",
     "fsdp_param_shardings",
     "shard_params_fsdp",
     "local_mesh",

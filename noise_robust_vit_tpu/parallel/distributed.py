@@ -26,6 +26,7 @@ __all__ = [
     "global_mesh",
     "local_batch_to_global",
     "process_info",
+    "setup_print_once",
 ]
 
 _INITIALIZED = False
@@ -107,7 +108,25 @@ def init_distributed(
         local_device_ids=local_device_ids,
     )
     _INITIALIZED = True
+    setup_print_once(jax.process_index() == 0)
     return jax.process_index(), jax.process_count()
+
+
+def setup_print_once(is_master: bool) -> None:
+    """Silence ``print`` on non-master processes; ``print(..., force=True)``
+    overrides (the reference's setup_for_distributed monkey-patch,
+    ref evaluate_copy_detection.py:101-114)."""
+    import builtins
+
+    builtin_print = getattr(builtins, "__orig_print__", builtins.print)
+    builtins.__orig_print__ = builtin_print
+
+    def print_once(*args, **kwargs):
+        force = kwargs.pop("force", False)
+        if is_master or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_once
 
 
 def is_initialized() -> bool:

@@ -64,9 +64,15 @@ def _align(raw: Any, like: Any) -> Any:
     return raw
 
 
-def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None) -> Any:
+def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None,
+                       key: str | None = None) -> Any:
     """Restore the checkpoint at ``step`` (default: latest) with the structure
-    and shardings of ``like``. Returns ``None`` if no checkpoint exists."""
+    and shardings of ``like``. Returns ``None`` if no checkpoint exists.
+
+    ``key`` selects a sub-tree of the checkpoint before aligning — the
+    reference's ``--checkpoint_key`` for DINO-style teacher/student files
+    (ref evaluate_copy_detection.py:380-384, :419-428). A missing key is
+    ignored so plain checkpoints load unchanged."""
     import orbax.checkpoint as ocp
 
     if step is None:
@@ -77,6 +83,8 @@ def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None) -
     abstract = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
     with ocp.PyTreeCheckpointer() as ckptr:
         try:
+            if key is not None:
+                raise KeyError  # force the raw path so `key` can be applied
             restored = ckptr.restore(path, item=abstract)
         except Exception:
             # structure mismatch — e.g. the checkpoint is a full TrainState
@@ -84,6 +92,8 @@ def restore_checkpoint(folder: str | Path, like: Any, step: int | None = None) -
             # variables ({"params", "batch_stats", ...}). Restore raw and
             # align by key (model_state children are hoisted to the top).
             raw = ckptr.restore(path)
+            if key is not None and isinstance(raw, dict) and key in raw:
+                raw = raw[key]
             restored = _align(raw, abstract)
     shardings = jax.tree_util.tree_map(
         lambda x: x.sharding if hasattr(x, "sharding") else None, like

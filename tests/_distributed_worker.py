@@ -47,4 +47,7 @@ def put(batch):
 
 
 loss = run_one_step(put)
-print(f"WORKER_LOSS {loss:.8f}", flush=True)
+# init_distributed gates print to rank 0 (the reference's
+# setup_for_distributed); force=True overrides so BOTH workers report
+print(f"WORKER_LOSS {loss:.8f}", flush=True, force=True)
+print("SHOULD_BE_SILENT_ON_RANK1", flush=True)

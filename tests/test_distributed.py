@@ -44,6 +44,11 @@ def test_two_process_step_matches_single_process():
         losses.append(float(lines[0].split()[1]))
     # both processes see the same replicated loss
     assert abs(losses[0] - losses[1]) < 1e-6
+    # rank-0-only print gating (the reference's setup_for_distributed,
+    # ref evaluate_copy_detection.py:101-114): plain prints are silenced on
+    # rank 1, force=True goes through everywhere
+    assert "SHOULD_BE_SILENT_ON_RANK1" in outs[0]
+    assert "SHOULD_BE_SILENT_ON_RANK1" not in outs[1]
 
     # single-process reference on the test process's 8 virtual devices
     import jax

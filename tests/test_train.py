@@ -247,3 +247,21 @@ def test_preemption_sigterm_checkpoints_and_resumes(tmp_path):
     assert step2 >= 3 * spe
     # resume started from the checkpointed step, not from scratch
     assert step2 - step1 < 3 * spe
+
+
+def test_restore_checkpoint_key_selects_subtree(tmp_path):
+    """--checkpoint_key teacher/student selection (ref
+    evaluate_copy_detection.py:380-384)."""
+    from noise_robust_vit_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    teacher = {"params": {"w": np.full((4,), 2.0, np.float32)}}
+    student = {"params": {"w": np.full((4,), 3.0, np.float32)}}
+    save_checkpoint(tmp_path, {"teacher": teacher, "student": student}, 0)
+    like = {"params": {"w": np.zeros((4,), np.float32)}}
+    got = restore_checkpoint(tmp_path, like, key="teacher")
+    np.testing.assert_array_equal(got["params"]["w"], teacher["params"]["w"])
+    got = restore_checkpoint(tmp_path, like, key="student")
+    np.testing.assert_array_equal(got["params"]["w"], student["params"]["w"])
