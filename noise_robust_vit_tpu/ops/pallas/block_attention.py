@@ -43,6 +43,11 @@ __all__ = ["packed_attention", "packed_attention_supported"]
 
 _LANE = 128
 _MAX_N_PAD = 1536
+# scoped-VMEM budget for sizing batch groups (bytes); env-overridable for
+# perf experiments (tools/perf_probe.py)
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("NRV_KERNEL_VMEM_BUDGET", 12 * 1024 * 1024))
 # Sinkhorn scaling-vector residual rows, padded to a full sublane tile
 # (skips the backward's forward-replay of the scaling iteration — round-1
 # win, CLAUDE.md "stored-vector bwd")
@@ -169,7 +174,7 @@ def _packed_fwd_impl(qkv, heads, dim_head, scale, robust, iters, final_row,
     per_image = hpb * (2 * n_pad * n_pad * 4 + 8 * n_pad * d * 4)
     if robust:
         per_image += hpb * n_pad * n_pad * 4
-    g = _pick_batch_group(b, per_image, budget=12 * 1024 * 1024)
+    g = _pick_batch_group(b, per_image, budget=_VMEM_BUDGET)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
         iters=iters, final_row=final_row, g=g, hpb=hpb, want_vecs=want_vecs,
@@ -216,7 +221,7 @@ def _packed_bwd_impl(qkv, dout, heads, dim_head, scale, robust, iters,
     # hand-derived backward keeps ~4 N² f32 buffers live per image-head
     per_image = hpb * ((5 if robust else 4) * n_pad * n_pad * 4
                        + 12 * n_pad * d * 4)
-    g = _pick_batch_group(b, per_image, budget=12 * 1024 * 1024)
+    g = _pick_batch_group(b, per_image, budget=_VMEM_BUDGET)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
         iters=iters, final_row=final_row, g=g, hpb=hpb,
