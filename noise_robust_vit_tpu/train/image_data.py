@@ -311,7 +311,12 @@ class ImageFolderLoader:
                 raise error[0]
         finally:
             stop.set()
-            thread.join(timeout=5)
+            try:
+                thread.join(timeout=5)
+            except Exception:
+                # interpreter teardown: a GC'd generator may land here after
+                # threading internals are gone; the producer is a daemon
+                pass
 
 
 # ---------------------------------------------------------------- packed --
