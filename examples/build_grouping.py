@@ -21,16 +21,21 @@ import numpy as np
 
 from noise_robust_vit_tpu import datasets
 from noise_robust_vit_tpu.ops.kmeans import kmeans
-from noise_robust_vit_tpu.train import DataLoader
+from noise_robust_vit_tpu.train import make_loader
 from noise_robust_vit_tpu.train.data import augment_batch
 
 
 def main(args):
+    _, image_size = datasets.NAME_TO_CLASS.get(args.dataset, (100, 32))
     ds = datasets.get_dataset(args.dataset_path, "train", name=args.dataset)
-    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    loader = make_loader(ds, args.batch_size, train=False,
+                         image_size=image_size)
     d = args.proj_dim
     key = jax.random.PRNGKey(args.seed)
-    feat_dim = ds.images.shape[1] * ds.images.shape[2] * ds.images.shape[3]
+    # feature dim from the loader's static batch shape (works for lazily
+    # decoded ImageFolder datasets too, which carry no .images array)
+    sample = next(iter(loader))["image"]
+    feat_dim = int(np.prod(sample.shape[1:]))
     w = jax.random.normal(key, (feat_dim, d), jnp.float32) / np.sqrt(feat_dim)
 
     @jax.jit
@@ -40,9 +45,24 @@ def main(args):
         x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
         return x @ w
 
-    embeds = [np.asarray(jax.device_get(project(jnp.asarray(b["image"]))))
-              for b in loader]
-    x_train = np.concatenate(embeds).astype(np.float32)
+    # scatter by batch index — loaders may drop a trailing partial batch
+    # (ImageFolderLoader keeps shapes static); stragglers get a padded pass
+    x_train = np.zeros((len(ds), d), np.float32)
+    seen = np.zeros(len(ds), bool)
+    for b in loader:
+        emb = np.asarray(jax.device_get(project(jnp.asarray(b["image"]))))
+        x_train[b["index"]] = emb
+        seen[b["index"]] = True
+    missing = np.nonzero(~seen)[0]
+    if len(missing):
+        load_one = getattr(loader, "_load_one", None)
+        imgs = np.stack([load_one(int(i)) for i in missing]) if load_one \
+            else ds.images[missing]
+        pad = args.batch_size - len(imgs) % args.batch_size
+        if pad != args.batch_size:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        emb = np.asarray(jax.device_get(project(jnp.asarray(imgs))))
+        x_train[missing] = emb[: len(missing)]
 
     for k in args.clusters:
         centroids, indices = kmeans(

@@ -17,7 +17,7 @@ from flax import linen as nn
 from noise_robust_vit_tpu import datasets
 from noise_robust_vit_tpu.models.factory import create_model
 from noise_robust_vit_tpu.train import (
-    DataLoader,
+    make_loader,
     Trainer,
     make_config,
     restore_checkpoint,
@@ -31,12 +31,14 @@ class Model(Trainer):
             self.args.dataset, (100, 32)
         )
         ds = datasets.get_dataset(self.args.dataset_path, "train", name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=True, seed=self.args.seed)
+        return make_loader(ds, self.args.batch_size, train=True,
+                           image_size=self.image_size, seed=self.args.seed)
 
     def initialize_val_loader(self):
         split = "test" if self.args.dataset.startswith("CIFAR") else "val"
         ds = datasets.get_dataset(self.args.dataset_path, split, name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=False, drop_last=False)
+        return make_loader(ds, self.args.batch_size, train=False,
+                           image_size=self.image_size)
 
     def initialize_modules(self):
         self.backbone = create_model(

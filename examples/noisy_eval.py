@@ -23,7 +23,7 @@ import numpy as np
 
 from noise_robust_vit_tpu import datasets
 from noise_robust_vit_tpu.models.factory import create_model
-from noise_robust_vit_tpu.train import DataLoader, RunLogger, restore_checkpoint
+from noise_robust_vit_tpu.train import make_loader, RunLogger, restore_checkpoint
 from noise_robust_vit_tpu.train.data import augment_batch
 
 
@@ -35,7 +35,8 @@ def main(args):
     )
     split = "test" if args.dataset.startswith("CIFAR") else "val"
     ds = datasets.get_dataset(args.dataset_path, split, name=args.dataset)
-    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    loader = make_loader(ds, args.batch_size, train=False,
+                         image_size=image_size)
 
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))

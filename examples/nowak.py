@@ -25,7 +25,7 @@ import optax
 
 from noise_robust_vit_tpu import datasets
 from noise_robust_vit_tpu.models.factory import create_model
-from noise_robust_vit_tpu.train import DataLoader, Trainer, make_config
+from noise_robust_vit_tpu.train import make_loader, Trainer, make_config
 from noise_robust_vit_tpu.train.data import augment_batch
 
 
@@ -35,11 +35,13 @@ class Model(Trainer):
             self.args.dataset, (200, 64)
         )
         ds = datasets.get_dataset(self.args.dataset_path, "train", name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=True, seed=self.args.seed)
+        return make_loader(ds, self.args.batch_size, train=True,
+                           image_size=self.image_size, seed=self.args.seed)
 
     def initialize_val_loader(self):
         ds = datasets.get_dataset(self.args.dataset_path, "val", name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=False, drop_last=False)
+        return make_loader(ds, self.args.batch_size, train=False,
+                           image_size=self.image_size)
 
     def initialize_modules(self):
         self.model = create_model(

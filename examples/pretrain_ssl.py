@@ -25,7 +25,7 @@ import optax
 from noise_robust_vit_tpu import datasets, models
 from noise_robust_vit_tpu.parallel import batch_sharding, local_mesh, replicated
 from noise_robust_vit_tpu.train import (
-    DataLoader,
+    make_loader,
     RunLogger,
     make_config,
     make_optimizer,
@@ -45,7 +45,8 @@ def build_vit(args, num_classes, image_size):
 def main(args):
     num_classes, image_size = datasets.NAME_TO_CLASS.get(args.dataset, (100, 32))
     ds = datasets.get_dataset(args.dataset_path, "train", name=args.dataset)
-    loader = DataLoader(ds, args.batch_size, shuffle=True, seed=args.seed)
+    loader = make_loader(ds, args.batch_size, train=True,
+                         image_size=image_size, seed=args.seed)
     logger = RunLogger(args.folder)
     mesh = local_mesh()
     rng = jax.random.PRNGKey(args.seed)

@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from noise_robust_vit_tpu import datasets
 from noise_robust_vit_tpu.models.factory import create_model
-from noise_robust_vit_tpu.train import DataLoader, Trainer, make_config
+from noise_robust_vit_tpu.train import make_loader, Trainer, make_config
 from noise_robust_vit_tpu.train.data import augment_batch
 
 
@@ -153,9 +153,9 @@ class Model(Trainer):
         indices = subset_indices(
             ds.labels, self.args.percentage, self.args.stratify, self.args.seed
         )
-        loader = DataLoader(
-            ds, self.args.batch_size, shuffle=True, seed=self.args.seed,
-            indices=indices,
+        loader = make_loader(
+            ds, self.args.batch_size, train=True,
+            image_size=self.image_size, seed=self.args.seed, indices=indices,
         )
         # instance labels are positions within the kept subset
         self.index_remap = np.full(len(ds), -1, np.int32)
@@ -166,7 +166,8 @@ class Model(Trainer):
     def initialize_val_loader(self):
         split = "test" if self.args.dataset.startswith("CIFAR") else "val"
         ds = datasets.get_dataset(self.args.dataset_path, split, name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=False, drop_last=False)
+        return make_loader(ds, self.args.batch_size, train=False,
+                           image_size=self.image_size)
 
     def initialize_modules(self):
         self.backbone = create_model(

@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from noise_robust_vit_tpu import datasets
 from noise_robust_vit_tpu.models.factory import create_model
-from noise_robust_vit_tpu.train import DataLoader, Trainer, make_config, multistep
+from noise_robust_vit_tpu.train import make_loader, Trainer, make_config, multistep
 from noise_robust_vit_tpu.train.data import augment_batch
 from noise_robust_vit_tpu.train.optim import adamw
 
@@ -99,13 +99,15 @@ class Model(Trainer):
             index_to_class = np.load(args.indices_from, allow_pickle=True)["indices"]
             self.train_samples = int(index_to_class.max() + 1)
         self.index_to_class = index_to_class.astype(np.int32)
-        return DataLoader(ds, args.batch_size, shuffle=True, seed=args.seed,
-                          indices=indices)
+        return make_loader(ds, args.batch_size, train=True,
+                           image_size=self.image_size, seed=args.seed,
+                           indices=indices)
 
     def initialize_val_loader(self):
         split = "test" if self.args.dataset.startswith("CIFAR") else "val"
         ds = datasets.get_dataset(self.args.dataset_path, split, name=self.args.dataset)
-        return DataLoader(ds, self.args.batch_size, shuffle=False, drop_last=False)
+        return make_loader(ds, self.args.batch_size, train=False,
+                           image_size=self.image_size)
 
     def initialize_modules(self):
         self.backbone = create_model(

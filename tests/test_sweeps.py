@@ -313,3 +313,42 @@ class TestReaderPresets:
         assert [round(s, 2) for s, _ in scored] == [0.20, 0.10]
         out = capsys.readouterr().out
         assert "sboot" in out and out.index("0.2000") < out.index("best") + 500
+
+
+class TestImageFolderExperiments:
+    @pytest.mark.slow
+    def test_diet_trains_from_jpeg_folder(self, tmp_path):
+        """Experiment scripts consume ImageFolder trees through make_loader
+        (the FFCV-path role, ref randomlabel.py:72-78): DIET runs end-to-end
+        on a folder of JPEGs, including the grouping npz flow."""
+        import cv2
+
+        from noise_robust_vit_tpu.train.image_data import ImageFolderLoader
+
+        root = tmp_path / "data"
+        arr = np.random.default_rng(0)
+        for split, per in (("train", 16), ("val", 8)):
+            for c in range(2):
+                d = root / split / f"class_{c}"
+                d.mkdir(parents=True)
+                for i in range(per):
+                    cv2.imwrite(str(d / f"{i}.jpg"),
+                                arr.integers(0, 255, (40, 40, 3), np.uint8))
+
+        import build_grouping
+        from simpler_randomlabel import Model
+
+        bg = SimpleNamespace(dataset="synthetic", dataset_path=root,
+                             batch_size=12, proj_dim=16, clusters=[4],
+                             niter=3, seed=0, output=tmp_path)
+        build_grouping.main(bg)
+        npz = np.load(tmp_path / "randomproj_16_grouped_4.npz")
+        assert len(npz["indices"]) == 32  # every sample grouped, incl. tail
+
+        args = _diet_args(tmp_path / "run", architecture=_tiny_arch(),
+                          dataset_path=root, batch_size=8,
+                          indices_from=tmp_path / "randomproj_16_grouped_4.npz")
+        m = Model(args)
+        m()
+        assert isinstance(m.train_loader, ImageFolderLoader)
+        assert len(m.logger.read("eval_accuracies")) == 1
