@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sinkhorn_attention import _bwd_math_manual, _round_up, _single_head_math
+from .sinkhorn_attention import _bwd_math_batched, _fwd_math_batched, _round_up
 
 __all__ = ["packed_attention", "packed_attention_supported"]
 
@@ -89,29 +89,38 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *out_refs, scale, n, n_pad, d, robust,
                 iters, final_row, g, hpb, want_vecs):
     o_ref = out_refs[0]
     vec_ref = out_refs[1] if want_vecs else None
+    # pad the full (128-lane-aligned) blocks once, THEN slice heads — Mosaic
+    # can't pad a value carrying an unaligned lane offset — and stack every
+    # (image, head) slice into ONE batched call so the Sinkhorn scaling
+    # chain runs once over [g·hpb, N, N] (see _fwd_math_batched)
+    qs, ks, vs = [], [], []
     for gi in range(g):
-        # pad the full (128-lane-aligned) block once, THEN slice heads —
-        # Mosaic can't pad a value carrying an unaligned lane offset
         qb = jnp.pad(q_ref[gi], ((0, n_pad - n), (0, 0)))
         kb = jnp.pad(k_ref[gi], ((0, n_pad - n), (0, 0)))
         vb = jnp.pad(v_ref[gi], ((0, n_pad - n), (0, 0)))
-        outs = []
         for hh in range(hpb):
             sl = slice(hh * d, (hh + 1) * d)
-            res = _single_head_math(
-                qb[:, sl], kb[:, sl], vb[:, sl],
-                scale=scale, n=n, robust=robust, iters=iters,
-                final_row=final_row, want_vecs=want_vecs,
-            )
-            if want_vecs:
-                out, vecs = res
-                k_v = vecs.shape[0]
-                vec_ref[gi, hh] = jnp.pad(vecs, ((0, _VEC_ROWS - k_v), (0, 0)))
-            else:
-                out = res
-            outs.append(out)
+            qs.append(qb[:, sl])
+            ks.append(kb[:, sl])
+            vs.append(vb[:, sl])
+    res = _fwd_math_batched(
+        jnp.stack(qs), jnp.stack(ks), jnp.stack(vs),
+        scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+        want_vecs=want_vecs,
+    )
+    if want_vecs:
+        out, vecs = res
+        k_v = vecs.shape[1]
+        vecs = jnp.pad(vecs, ((0, 0), (0, _VEC_ROWS - k_v), (0, 0)))
+    else:
+        out = res
+    for gi in range(g):
+        outs = [out[gi * hpb + hh] for hh in range(hpb)]
         block = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
         o_ref[gi] = block[:n].astype(o_ref.dtype)
+        if want_vecs:
+            for hh in range(hpb):
+                vec_ref[gi, hh] = vecs[gi * hpb + hh]
 
 
 def _bwd_kernel(*refs, scale, n, n_pad, d, robust, iters, final_row, g, hpb,
@@ -121,29 +130,41 @@ def _bwd_kernel(*refs, scale, n, n_pad, d, robust, iters, final_row, g, hpb,
     else:
         q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
         vec_ref = None
+    # stack every (image, head) slice into ONE batched [g·hpb, N, D] call:
+    # the robust reverse chain is a sequential string of tiny vector ops, so
+    # running it once over the whole block (instead of g·hpb times) keeps
+    # the VPU pipeline full
+    qs, ks, vs, gs = [], [], [], []
     for gi in range(g):
         qb = jnp.pad(q_ref[gi], ((0, n_pad - n), (0, 0)))
         kb = jnp.pad(k_ref[gi], ((0, n_pad - n), (0, 0)))
         vb = jnp.pad(v_ref[gi], ((0, n_pad - n), (0, 0)))
         gb = jnp.pad(g_ref[gi], ((0, n_pad - n), (0, 0)))
-        dqs, dks, dvs = [], [], []
         for hh in range(hpb):
             sl = slice(hh * d, (hh + 1) * d)
-            dq, dk, dv = _bwd_math_manual(
-                qb[:, sl], kb[:, sl], vb[:, sl], gb[:, sl],
-                scale=scale, n=n, robust=robust, iters=iters,
-                final_row=final_row,
-                vecs=None if vec_ref is None else vec_ref[gi, hh, :n_vecs],
-            )
-            dqs.append(dq)
-            dks.append(dk)
-            dvs.append(dv)
+            qs.append(qb[:, sl])
+            ks.append(kb[:, sl])
+            vs.append(vb[:, sl])
+            gs.append(gb[:, sl])
+    vecs = None
+    if vec_ref is not None:
+        vecs = jnp.stack([
+            vec_ref[gi, hh, :n_vecs]
+            for gi in range(g) for hh in range(hpb)
+        ])  # [g·hpb, n_vecs, n_pad]
+    dq, dk, dv = _bwd_math_batched(
+        jnp.stack(qs), jnp.stack(ks), jnp.stack(vs), jnp.stack(gs),
+        scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+        vecs=vecs,
+    )
+    for gi in range(g):
+        idx = slice(gi * hpb, (gi + 1) * hpb)
         cat = (lambda ts: ts[0]) if hpb == 1 else (
             lambda ts: jnp.concatenate(ts, axis=-1)
         )
-        dq_ref[gi] = cat(dqs)[:n].astype(dq_ref.dtype)
-        dk_ref[gi] = cat(dks)[:n].astype(dk_ref.dtype)
-        dv_ref[gi] = cat(dvs)[:n].astype(dv_ref.dtype)
+        dq_ref[gi] = cat([dq[j] for j in range(idx.start, idx.stop)])[:n].astype(dq_ref.dtype)
+        dk_ref[gi] = cat([dk[j] for j in range(idx.start, idx.stop)])[:n].astype(dk_ref.dtype)
+        dv_ref[gi] = cat([dv[j] for j in range(idx.start, idx.stop)])[:n].astype(dv_ref.dtype)
 
 
 def _qkv_specs(head_groups: int, width: int, n: int, g: int):

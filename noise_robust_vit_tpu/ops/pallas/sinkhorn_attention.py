@@ -261,9 +261,104 @@ def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row,
     return out
 
 
+def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
+                      want_vecs=False):
+    """Batched forward math over a leading K = (image × head) dim
+    (q/k/v [K, n_pad, d]); same math as ``_single_head_math`` but the
+    Sinkhorn scaling iteration — a sequential chain of matvec reductions —
+    runs ONCE over [K, N, N] instead of K times (round-2: chain batching is
+    what keeps the VPU pipeline full).
+
+    Returns ``out [K, n_pad, dv]`` and, with ``want_vecs``, the residual
+    stack ``[K, R, n_pad]`` (scaling vectors + softmax log-normalizer)."""
+    kb, n_pad, _ = q.shape
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    needs_mask = n != n_pad
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 2)
+        s = jnp.where(col < n, s, -1e9)
+    lse_row = None
+    if want_vecs:
+        # explicit softmax so the log-normalizer lse = m + log r can ride the
+        # residual stack: the backward then rebuilds attn = exp(s − lse) in
+        # ONE VPU pass instead of replaying max/exp/sum/div (round-2 win)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        lse_row = (m + jnp.log(r)).reshape(kb, 1, n_pad)
+        if needs_mask:
+            # padded COLS of e are exp(-1e9−…) = 0 exactly; only padded rows
+            # need zeroing, fused with the normalize multiply
+            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
+            attn = jnp.where(row < n, e * (1.0 / r), 0.0)
+        else:
+            attn = e * (1.0 / r)
+    else:
+        attn = jax.nn.softmax(s, axis=-1)
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
+            attn = jnp.where((row < n) & (col < n), attn, 0.0)
+
+    vf = v.astype(jnp.float32)
+    a = None
+    a_rows, b_rows = [], []
+    if robust:
+        def _recip(x):
+            # clamped reciprocal (see ops/sinkhorn.py::sinkhorn_scalings)
+            if not needs_mask:
+                return 1.0 / jnp.maximum(x, 1e-8)
+            safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
+            return jnp.where(x == 0.0, 1.0, 1.0 / safe)
+
+        b = jnp.ones((kb, 1, n_pad), jnp.float32)
+        a = jnp.ones((kb, n_pad, 1), jnp.float32)
+        for i in range(iters):
+            # i == 0: rowsum(softmax) ≡ 1 as a function of the logits (value
+            # AND gradient), so the first row normalization is the identity
+            if i > 0:
+                a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+                a_rows.append(a.reshape(kb, 1, n_pad))
+            b = _recip(jnp.sum(attn * a, axis=-2, keepdims=True))
+            b_rows.append(b)
+        if final_row:
+            a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+            a_rows.append(a.reshape(kb, 1, n_pad))
+        vf = vf * b.reshape(kb, n_pad, 1)
+
+    out = jax.lax.dot_general(
+        attn, vf,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if robust:
+        out = out * a
+    if want_vecs:
+        # [K, Ka+Kb+1, N] stack of the (tiny) scaling vectors (robust only)
+        # + the softmax log-normalizer — ROW-major so the lane axis is N
+        rows = (a_rows + b_rows) if robust else []
+        return out, jnp.concatenate(rows + [lse_row], axis=1)
+    return out
+
+
 def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
                      vecs=None):
-    """Hand-derived backward (per head, recompute-in-VMEM).
+    """Per-head wrapper over the batched backward (K = 1)."""
+    dq, dk, dv = _bwd_math_batched(
+        q[None], k[None], v[None], g[None], scale=scale, n=n, robust=robust,
+        iters=iters, final_row=final_row,
+        vecs=None if vecs is None else vecs[None],
+    )
+    return dq[0], dk[0], dv[0]
+
+
+def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
+                      vecs=None):
+    """Hand-derived backward, batched over a leading K = (image × head) dim
+    (recompute-in-VMEM; q/k/v/g are [K, n_pad, d], vecs [K, R, n_pad]).
 
     Forward is ``O = diag(a)·A·diag(b)·V`` with A = masked softmax and (a, b)
     the Sinkhorn–Knopp vectors. Reverse-mode:
@@ -272,27 +367,32 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
         da_last = rowsum(G ⊙ A(b⊙V));  db_T += rowsum(Aᵀ(a⊙G) ⊙ V)
       * each reciprocal node x = 1/(A·y) contributes dA += dx' yᵀ and
         dy += Aᵀ dx' with dx' = −dx ⊙ x² (transposed for the b-nodes) —
-        rank-1 outer products accumulated into ONE N×N buffer.
+        rank-1 outer products applied as ONE K≈8 MXU matmul at the end.
       * softmax vjp: dS = A ⊙ (dA − rowsum(dA ⊙ A)); dQ = scale·dS·K,
-        dK = scale·dSᵀ·Q. Masked (zero) entries of A annihilate all padded-
-        lane junk, so no extra masking is needed here.
+        dK = scale·dSᵀ·Q.
 
-    ~3 live N×N f32 buffers vs ~10 for the in-kernel autodiff vjp, which
-    allows much larger head groups per program.
+    Batching matters beyond buffer reuse: the reverse chain is a long
+    SEQUENTIAL string of tiny vector ops and matvec reductions; running it
+    once over [K, N, *] values instead of K times over [N, *] keeps the VPU
+    pipeline full (round-2 measurement: the per-head chain dominated the
+    robust backward).
     """
-    n_pad = q.shape[0]
+    kb, n_pad, _ = q.shape
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     gf = g.astype(jnp.float32)
+    BATCHED_NN = (((2,), (2,)), ((0,), (0,)))   # X[K,N,D] · Y[K,N,D]ᵀ
+    BATCHED_AB = (((2,), (1,)), ((0,), (0,)))   # A[K,N,N] · Y[K,N,D]
+    BATCHED_AT = (((1,), (1,)), ((0,), (0,)))   # Aᵀ[K,N,N] · Y[K,N,D]
 
     s = jax.lax.dot_general(
-        qf, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+        qf, kf, dimension_numbers=BATCHED_NN,
         preferred_element_type=jnp.float32,
     ) * scale
     needs_mask = n != n_pad
     if needs_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 2)
         s = jnp.where(col < n, s, -1e9)
     if vecs is not None:
         # stored log-normalizer: attn = exp(s − lse) in one pass — no
@@ -300,33 +400,33 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
         # only padded ROWS (whose lse came from junk logits) need zeroing.
         # positive static index — a negative index lowers to dynamic_slice,
         # which Mosaic does not implement
-        lse = vecs[vecs.shape[0] - 1].reshape(n_pad, 1)
+        lse = vecs[:, vecs.shape[1] - 1][:, :, None]
         attn = jnp.exp(s - lse)
         if needs_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
             attn = jnp.where(row < n, attn, 0.0)
     else:
         attn = jax.nn.softmax(s, axis=-1)
         if needs_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
             attn = jnp.where((row < n) & (col < n), attn, 0.0)
 
     if not robust:
         dv = jax.lax.dot_general(
-            attn, gf, dimension_numbers=(((0,), (0,)), ((), ())),
+            attn, gf, dimension_numbers=BATCHED_AT,
             preferred_element_type=jnp.float32,
         )
         dA = jax.lax.dot_general(
-            gf, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            gf, vf, dimension_numbers=BATCHED_NN,
             preferred_element_type=jnp.float32,
         )
         ds = attn * (dA - jnp.sum(dA * attn, axis=-1, keepdims=True))
         dq = scale * jax.lax.dot_general(
-            ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+            ds, kf, dimension_numbers=BATCHED_AB,
             preferred_element_type=jnp.float32,
         )
         dk = scale * jax.lax.dot_general(
-            ds, qf, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds, qf, dimension_numbers=BATCHED_AT,
             preferred_element_type=jnp.float32,
         )
         return dq, dk, dv
@@ -338,16 +438,19 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
+    def as_row(vec_col):  # [K, N, 1] → [K, 1, N]
+        return vec_col.reshape(kb, 1, n_pad)
+
     # scaling vectors: restored from the forward residuals when available
     # (saves the full replay — ~4 N×N mul-reduce passes), otherwise replayed.
     # a_0 ≡ 1 (first row norm of a row softmax is the identity in value and
-    # gradient), so its reverse node is skipped below. Lists are COLUMN [N,1]
-    # vectors: as_ = [a_0 .. a_{T-1} (, a_fin)], bs = [1, b_1 .. b_T].
-    ones_col = jnp.ones((n_pad, 1), jnp.float32)
+    # gradient), so its reverse node is skipped below. Lists are COLUMN
+    # [K, N, 1] vectors: as_ = [a_0 .. a_{T-1} (, a_fin)], bs = [1, b_1 .. b_T].
+    ones_col = jnp.ones((kb, n_pad, 1), jnp.float32)
     if vecs is not None:
         ka = max(iters - 1, 0) + int(final_row)
-        as_ = [ones_col] + [vecs[j].reshape(n_pad, 1) for j in range(ka)]
-        bs = [ones_col] + [vecs[ka + j].reshape(n_pad, 1) for j in range(iters)]
+        as_ = [ones_col] + [vecs[:, j][:, :, None] for j in range(ka)]
+        bs = [ones_col] + [vecs[:, ka + j][:, :, None] for j in range(iters)]
     else:
         bs = [ones_col]
         as_ = []
@@ -355,42 +458,42 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
             if i == 0:
                 a_t = ones_col
             else:
-                a_t = _recip(jnp.sum(attn * bs[-1].reshape(1, n_pad),
+                a_t = _recip(jnp.sum(attn * as_row(bs[-1]),
                                      axis=-1, keepdims=True))
             as_.append(a_t)
             bs.append(_recip(jnp.sum(attn * a_t, axis=-2,
-                                     keepdims=True)).reshape(n_pad, 1))
+                                     keepdims=True)).reshape(kb, n_pad, 1))
         if final_row:
-            as_.append(_recip(jnp.sum(attn * bs[-1].reshape(1, n_pad),
+            as_.append(_recip(jnp.sum(attn * as_row(bs[-1]),
                                       axis=-1, keepdims=True)))
     a_fin = as_[-1]
     b_fin = bs[-1]
 
     bv = b_fin * vf
     o_over_a = jax.lax.dot_general(
-        attn, bv, dimension_numbers=(((1,), (0,)), ((), ())),
+        attn, bv, dimension_numbers=BATCHED_AB,
         preferred_element_type=jnp.float32,
     )
-    ag = a_fin * gf  # [N, D]
+    ag = a_fin * gf  # [K, N, D]
     t1 = jax.lax.dot_general(
-        attn, ag, dimension_numbers=(((0,), (0,)), ((), ())),
+        attn, ag, dimension_numbers=BATCHED_AT,
         preferred_element_type=jnp.float32,
-    )  # Aᵀ(a⊙G), [N, D]
+    )  # Aᵀ(a⊙G), [K, N, D]
     dv = b_fin * t1
     # direct dA = a ⊙ (G Vᵀ) ⊙ bᵀ, with a folded into the GEMM operand
     # (ag is already a⊙G) — one N² multiply pass instead of two
     dA = jax.lax.dot_general(
-        ag, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+        ag, vf, dimension_numbers=BATCHED_NN,
         preferred_element_type=jnp.float32,
-    ) * b_fin.reshape(1, n_pad)
+    ) * as_row(b_fin)
     da = jnp.sum(gf * o_over_a, axis=-1, keepdims=True)  # for a_last
-    db = jnp.sum(t1 * vf, axis=-1, keepdims=True)  # for b_T, as [N,1]
+    db = jnp.sum(t1 * vf, axis=-1, keepdims=True)  # for b_T, as [K,N,1]
 
     def mv(mat_T, vec_col):
-        # A @ x or Aᵀ @ x with x [N,1] via masked sums (VPU, stays in VMEM)
+        # A @ x or Aᵀ @ x with x [K,N,1] via masked sums (VPU, stays in VMEM)
         if mat_T:
-            return jnp.sum(attn * vec_col, axis=-2, keepdims=True)  # [1,N]
-        return jnp.sum(attn * vec_col.reshape(1, n_pad), axis=-1, keepdims=True)
+            return jnp.sum(attn * vec_col, axis=-2, keepdims=True)  # [K,1,N]
+        return jnp.sum(attn * as_row(vec_col), axis=-1, keepdims=True)
 
     # reverse the iteration. The rank-1 dA contributions (u·vᵀ) are NOT
     # accumulated into the N×N buffer one at a time — interleaving reductions
@@ -401,21 +504,21 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
     # either the mv() already computed for the chain rule or 1/a_t (the raw
     # rowsum that produced a_t = recip(A·b_{t-1})). Everything is applied in
     # ONE fused elementwise traversal at the end.
-    terms = []  # (u [N,1], v [N,1]) pairs: dA += u·vᵀ
-    svec = jnp.zeros((n_pad, 1), jnp.float32)  # Σ_k u_k ⊙ (A·v_k)
+    terms = []  # (u, v) [K,N,1] pairs: dA += u·vᵀ
+    svec = jnp.zeros((kb, n_pad, 1), jnp.float32)  # Σ_k u_k ⊙ (A·v_k)
     if final_row:
         # a* = recip(A b_T); A·b_T = 1/a_fin by construction
-        dr = -da * a_fin * a_fin  # [N,1]
+        dr = -da * a_fin * a_fin
         terms.append((dr, bs[-1]))
         svec = svec + dr / a_fin
-        db = db + mv(True, dr).reshape(n_pad, 1)
+        db = db + mv(True, dr).reshape(kb, n_pad, 1)
         da = jnp.zeros_like(da)
     for t in range(iters - 1, -1, -1):
         a_t = as_[t]
         b_t = bs[t + 1]
-        # b_t = recip(Aᵀ a_t): db currently holds grad of b_t (as [N,1])
-        dc = -db * (b_t * b_t)  # [N,1] repr of [1,N]
-        m_dc = mv(False, dc)  # A @ dc, [N,1]
+        # b_t = recip(Aᵀ a_t): db currently holds grad of b_t (as [K,N,1])
+        dc = -db * (b_t * b_t)
+        m_dc = mv(False, dc)  # A @ dc, [K,N,1]
         terms.append((a_t, dc))
         svec = svec + a_t * m_dc
         if t == 0:
@@ -426,7 +529,7 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
         dr = -da * a_t * a_t
         terms.append((dr, bs[t]))
         svec = svec + dr / a_t
-        db = mv(True, dr).reshape(n_pad, 1)  # grad into b_{t-1}
+        db = mv(True, dr).reshape(kb, n_pad, 1)  # grad into b_{t-1}
         da = jnp.zeros_like(da)
 
     row_term = jnp.sum(dA * attn, axis=-1, keepdims=True) + svec
@@ -434,21 +537,19 @@ def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
     # broadcast-add passes. Round 1 measured this as a LOSS on the old
     # vjp-replay kernel (K pads to 128 on the MXU); on the stored-vec + lse
     # layout it wins: robust step 334.6 → 329.6 ms (765 → 777 img/s).
-    u_mat = jnp.concatenate([u for u, _ in terms], axis=1)  # [N, K]
-    v_mat = jnp.concatenate(
-        [vv.reshape(n_pad, 1) for _, vv in terms], axis=1
-    )  # [N, K]
+    u_mat = jnp.concatenate([u for u, _ in terms], axis=2)  # [K, N, T]
+    v_mat = jnp.concatenate([vv for _, vv in terms], axis=2)  # [K, N, T]
     inner = (dA - row_term) + jax.lax.dot_general(
-        u_mat, v_mat, dimension_numbers=(((1,), (1,)), ((), ())),
+        u_mat, v_mat, dimension_numbers=BATCHED_NN,
         preferred_element_type=jnp.float32,
     )
     ds = attn * inner
     dq = scale * jax.lax.dot_general(
-        ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+        ds, kf, dimension_numbers=BATCHED_AB,
         preferred_element_type=jnp.float32,
     )
     dk = scale * jax.lax.dot_general(
-        ds, qf, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds, qf, dimension_numbers=BATCHED_AT,
         preferred_element_type=jnp.float32,
     )
     return dq, dk, dv
