@@ -50,20 +50,20 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *vec_ref, scale, n, robust, iters,
     # post-softmax matrix is only ever rescaled as diag(a)·attn·diag(b), so
     # the kernel iterates scaling vectors and folds them into the output —
     # the N×N matrix stays put in VMEM and is read, never rewritten.
-    # ``g`` (batch·head) rows are processed per program (unrolled) to
-    # amortize per-program overhead — ~20% over one-head programs at ViT-B.
-    for gi in range(g):
-        res = _single_head_math(
-            q_ref[gi], k_ref[gi], v_ref[gi],
-            scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
-            want_vecs=bool(vec_ref),
-        )
-        if vec_ref:
-            out, vecs = res
-            vec_ref[0][gi] = vecs
-        else:
-            out = res
-        o_ref[gi] = out.astype(o_ref.dtype)
+    # The ``g`` (batch·head) items of the block run as ONE batched [g, N, N]
+    # chain (_fwd_math_batched) so the sequential scaling iteration keeps
+    # the VPU pipeline full.
+    res = _fwd_math_batched(
+        q_ref[...], k_ref[...], v_ref[...],
+        scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+        want_vecs=bool(vec_ref),
+    )
+    if vec_ref:
+        out, vecs = res
+        vec_ref[0][...] = vecs
+    else:
+        out = res
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _pick_group(bh: int, n_pad: int, d: int, arrays: int,
@@ -561,15 +561,16 @@ def _bwd_kernel(*refs, scale, n, robust, iters, final_row, g, has_vecs):
     else:
         q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
         vec_ref = None
-    for gi in range(g):
-        dq, dk, dv = _bwd_math_manual(
-            q_ref[gi], k_ref[gi], v_ref[gi], g_ref[gi],
-            scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
-            vecs=None if vec_ref is None else vec_ref[gi],
-        )
-        dq_ref[gi] = dq.astype(dq_ref.dtype)
-        dk_ref[gi] = dk.astype(dk_ref.dtype)
-        dv_ref[gi] = dv.astype(dv_ref.dtype)
+    # one batched [g, N, N] reverse chain for the whole block (see
+    # _bwd_math_batched: chain batching keeps the VPU pipeline full)
+    dq, dk, dv = _bwd_math_batched(
+        q_ref[...], k_ref[...], v_ref[...], g_ref[...],
+        scale=scale, n=n, robust=robust, iters=iters, final_row=final_row,
+        vecs=None if vec_ref is None else vec_ref[...],
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(
