@@ -181,6 +181,7 @@ class ImageFolderLoader:
         prefetch_batches: int = 4,
         indices: np.ndarray | None = None,
         use_native: bool | None = None,
+        drop_last: bool | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -192,6 +193,9 @@ class ImageFolderLoader:
         self.num_workers = num_workers
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        # train keeps static shapes (drop-last); eval keeps every sample —
+        # the tail yields one smaller batch, matching DataLoader semantics
+        self.drop_last = train if drop_last is None else drop_last
         self.indices = (
             np.arange(len(dataset)) if indices is None else np.asarray(indices)
         )
@@ -222,13 +226,19 @@ class ImageFolderLoader:
             order = rng.permutation(order)
         rank, world = self.shard
         order = order[rank::world]
-        # equalize shard lengths so every process runs the same step count
-        per_shard = len(self.indices) // world
-        return order[:per_shard]
+        if self.drop_last:
+            # equalize shard lengths so every process runs the same step count
+            order = order[: len(self.indices) // world]
+        return order
 
     def __len__(self):
         rank, world = self.shard
-        return (len(self.indices) // world) // self.batch_size
+        n = len(self.indices) // world if self.drop_last else len(
+            self.indices[rank::world]
+        )
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def _load_one(self, idx: int) -> np.ndarray:
         img = _decode(self.dataset.paths[idx])

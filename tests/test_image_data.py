@@ -207,3 +207,19 @@ class TestNativeIngest:
         for b in batches:
             assert b["image"].shape == (5, 32, 32, 3)
             assert b["image"].std() > 0  # every slot actually decoded
+
+
+def test_eval_loader_keeps_partial_tail(image_tree):
+    """Eval loaders must see EVERY sample (DataLoader drop_last=False
+    semantics); only training keeps strictly static shapes."""
+    ds = ImageFolderDataset(image_tree / "val")  # 12 samples
+    loader = ImageFolderLoader(ds, batch_size=5, image_size=32, train=False,
+                               num_workers=2)
+    batches = list(loader)
+    assert [len(b["image"]) for b in batches] == [5, 5, 2]
+    seen = np.concatenate([b["index"] for b in batches])
+    assert sorted(seen.tolist()) == list(range(12))
+    # training still drops the ragged tail
+    tloader = ImageFolderLoader(ds, batch_size=5, image_size=32, train=True,
+                                num_workers=2)
+    assert [len(b["image"]) for b in tloader] == [5, 5]
