@@ -62,8 +62,12 @@ def main():
         def fake_attn(q, k, v, **kw):
             return v
         ops.dot_product_attention = fake_attn
+        # the packed fused path bypasses dot_product_attention — disable its
+        # dispatch so the ablation actually removes attention
+        ops.packed_dispatch = lambda *a, **kw: False
         import noise_robust_vit_tpu.models.layers as _l
         _l.ops.dot_product_attention = fake_attn
+        _l.ops.packed_dispatch = lambda *a, **kw: False
     elif mode == "nosm":
         def nosm_attn(q, k, v, *, scale=None, **kw):
             s = scale or q.shape[-1] ** -0.5
@@ -72,8 +76,10 @@ def main():
             return jnp.einsum("...nm,...md->...nd", logits.astype(v.dtype), v,
                               preferred_element_type=jnp.float32).astype(v.dtype)
         ops.dot_product_attention = nosm_attn
+        ops.packed_dispatch = lambda *a, **kw: False
         import noise_robust_vit_tpu.models.layers as _l
         _l.ops.dot_product_attention = nosm_attn
+        _l.ops.packed_dispatch = lambda *a, **kw: False
 
     robust = mode == "robust"
     model = create_model(
