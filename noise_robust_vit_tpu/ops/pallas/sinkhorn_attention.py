@@ -278,9 +278,12 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
         preferred_element_type=jnp.float32,
     ) * scale
     needs_mask = n != n_pad
+    # 2D iota masks broadcast over K (scoped-VMEM discipline — see
+    # _bwd_math_batched)
     if needs_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 2)
-        s = jnp.where(col < n, s, -1e9)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        s = jnp.where(col2[None] < n, s, -1e9)
     lse_row = None
     if want_vecs:
         # explicit softmax so the log-normalizer lse = m + log r can ride the
@@ -293,15 +296,15 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
         if needs_mask:
             # padded COLS of e are exp(-1e9−…) = 0 exactly; only padded rows
             # need zeroing, fused with the normalize multiply
-            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
-            attn = jnp.where(row < n, e * (1.0 / r), 0.0)
+            attn = jnp.where(row2[None] < n, e * (1.0 / r), 0.0)
         else:
             attn = e * (1.0 / r)
     else:
         attn = jax.nn.softmax(s, axis=-1)
         if needs_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
-            attn = jnp.where((row < n) & (col < n), attn, 0.0)
+            attn = jnp.where(
+                ((row2 < n) & (col2 < n))[None], attn, 0.0
+            )
 
     vf = v.astype(jnp.float32)
     a = None
@@ -391,25 +394,32 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         preferred_element_type=jnp.float32,
     ) * scale
     needs_mask = n != n_pad
+    # 2D iota masks broadcast over K — a [K,N,N] int32 iota costs a full
+    # scoped-VMEM N² buffer per operand (the 16MB Mosaic limit is the K
+    # ceiling, so every avoided buffer buys batch width)
+    mask2 = None
     if needs_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 2)
-        s = jnp.where(col < n, s, -1e9)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        mask2 = ((row2 < n) & (col2 < n))[None]
     if vecs is not None:
         # stored log-normalizer: attn = exp(s − lse) in one pass — no
-        # max/sum/div replay. Padded cols are exp(−1e9 − lse) = 0 already;
-        # only padded ROWS (whose lse came from junk logits) need zeroing.
+        # max/sum/div replay and no −1e9 pre-mask: padded rows AND cols are
+        # zeroed in the same where (padded-col logits are exactly 0 from the
+        # zero-padded K rows, so exp(0 − lse) must be masked anyway).
         # positive static index — a negative index lowers to dynamic_slice,
         # which Mosaic does not implement
         lse = vecs[:, vecs.shape[1] - 1][:, :, None]
-        attn = jnp.exp(s - lse)
         if needs_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
-            attn = jnp.where(row < n, attn, 0.0)
+            attn = jnp.where(mask2, jnp.exp(s - lse), 0.0)
+        else:
+            attn = jnp.exp(s - lse)
     else:
+        if needs_mask:
+            s = jnp.where(col2[None] < n, s, -1e9)
         attn = jax.nn.softmax(s, axis=-1)
         if needs_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (kb, n_pad, n_pad), 1)
-            attn = jnp.where((row < n) & (col < n), attn, 0.0)
+            attn = jnp.where(mask2, attn, 0.0)
 
     if not robust:
         dv = jax.lax.dot_general(
