@@ -44,6 +44,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def _compiler_params():
+    """Per-kernel Mosaic scoped-VMEM limit (see block_attention: the 16MB
+    default is what caps the batch group width)."""
+    import os
+
+    limit = int(os.environ.get("NRV_KERNEL_VMEM_LIMIT", 40 * 1024 * 1024))
+    if limit:
+        return pltpu.CompilerParams(vmem_limit_bytes=limit)
+    return None
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *vec_ref, scale, n, robust, iters,
             final_row, g):
     # Vector-form Sinkhorn (see ops/sinkhorn.py::sinkhorn_scalings): the
@@ -147,6 +159,7 @@ def _fused_attention_impl(q, k, v, scale, robust, sinkhorn_iters, final_row_norm
             bytes_accessed=bh * n_pad * (2 * d_pad + 2 * dv_pad) * q.dtype.itemsize,
             transcendentals=bh * n_pad * n_pad,
         ),
+        compiler_params=_compiler_params(),
     )(q, k, v)
     out, vecs = res if want_vecs else (res, None)
     out = out[:, :n, :dv].reshape(*batch, n, dv)
@@ -637,6 +650,7 @@ def _fused_attention_bwd_impl(q, k, v, g, scale, robust, sinkhorn_iters,
             bytes_accessed=bh * n_pad * (4 * d + 4 * dv_dim) * q.dtype.itemsize,
             transcendentals=bh * n_pad * n_pad,
         ),
+        compiler_params=_compiler_params(),
     )(*operands)
     dq, dk, dv = (t[:, :n, :] for t in (dq, dk, dv))
     return (
