@@ -22,7 +22,7 @@ This kernel removes the boundary entirely:
     shapes **in VMEM**, computes softmax (or Sinkhorn-renormalized,
     ref utils.py:1025-1037) attention, and writes back — the N×N matrix
     never exists in HBM, in either the forward or the hand-derived backward
-    (`sinkhorn_attention._bwd_math_manual`);
+    (`sinkhorn_attention._bwd_math_batched`);
   * backward consumes the incoming ``[B, N, H·D]`` cotangent directly and
     emits (dq, dk, dv) chunks that XLA concatenates straight into the
     ``to_qkv`` backward GEMMs.

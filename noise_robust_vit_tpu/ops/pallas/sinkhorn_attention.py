@@ -190,94 +190,10 @@ def _reference_attention(q, k, v, scale, robust, iters, final_row):
     ).astype(v.dtype)
 
 
-def _single_head_math(q, k, v, *, scale, n, robust, iters, final_row,
-                      want_vecs=False):
-    """Per-(batch,head) attention math in f32, shared by the forward kernel
-    and the backward kernel (which differentiates it via jax.vjp *inside* the
-    kernel body — the vjp traces to plain dots/reductions Mosaic lowers)."""
-    n_pad = q.shape[0]
-    s = jax.lax.dot_general(
-        q.astype(jnp.float32), k.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    needs_mask = n != n_pad
-    if needs_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-        s = jnp.where(col < n, s, -1e9)
-    lse_col = None
-    if want_vecs:
-        # explicit softmax so the log-normalizer lse = m + log r can ride the
-        # residual stack: the backward then rebuilds attn = exp(s − lse) in
-        # ONE VPU pass instead of replaying max/exp/sum/div (round-2 win)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = jnp.sum(e, axis=-1, keepdims=True)
-        lse_col = m + jnp.log(r)
-        if needs_mask:
-            # padded COLS of e are exp(-1e9−…) = 0 exactly; only padded rows
-            # need zeroing, fused with the normalize multiply
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
-            attn = jnp.where(row < n, e * (1.0 / r), 0.0)
-        else:
-            attn = e * (1.0 / r)
-    else:
-        attn = jax.nn.softmax(s, axis=-1)
-        if needs_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
-            attn = jnp.where((row < n) & (col < n), attn, 0.0)
-
-    vf = v.astype(jnp.float32)
-    if robust:
-        def _recip(x):
-            # clamped reciprocal (see ops/sinkhorn.py::sinkhorn_scalings):
-            # starved keys would overflow f32 in the vector form; the
-            # double-where keeps the vjp NaN-free at masked (x==0) entries
-            if not needs_mask:
-                return 1.0 / jnp.maximum(x, 1e-8)
-            safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
-            return jnp.where(x == 0.0, 1.0, 1.0 / safe)
-
-        b = jnp.ones((1, n_pad), jnp.float32)
-        a = jnp.ones((n_pad, 1), jnp.float32)
-        a_cols, b_cols = [], []
-        for i in range(iters):
-            # i == 0: rowsum(softmax) ≡ 1 as a function of the logits (value
-            # AND gradient), so the first row normalization is the identity
-            if i > 0:
-                a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
-                a_cols.append(a)
-            b = _recip(jnp.sum(attn * a, axis=-2, keepdims=True))
-            b_cols.append(b.reshape(n_pad, 1))
-        if final_row:
-            a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
-            a_cols.append(a)
-        vf = vf * b.reshape(n_pad, 1)
-
-    out = jax.lax.dot_general(
-        attn, vf,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if robust:
-        out = out * a
-    if want_vecs:
-        # [Ka+Kb+1, N] stack of the (tiny) scaling vectors (robust only) +
-        # the softmax log-normalizer — ROW-major so the lane axis is N (a
-        # column layout would pad every vector to 128 lanes and blow the
-        # scoped-VMEM budget); saved as residuals so the backward kernel
-        # skips both the scaling replay AND the softmax replay
-        cols = (a_cols + b_cols) if robust else []
-        return out, jnp.concatenate(
-            [t.reshape(1, n_pad) for t in cols + [lse_col]], axis=0
-        )
-    return out
-
-
 def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
                       want_vecs=False):
     """Batched forward math over a leading K = (image × head) dim
-    (q/k/v [K, n_pad, d]); same math as ``_single_head_math`` but the
+    (q/k/v [K, n_pad, d]); the
     Sinkhorn scaling iteration — a sequential chain of matvec reductions —
     runs ONCE over [K, N, N] instead of K times (round-2: chain batching is
     what keeps the VPU pipeline full).
@@ -358,17 +274,6 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
         rows = (a_rows + b_rows) if robust else []
         return out, jnp.concatenate(rows + [lse_row], axis=1)
     return out
-
-
-def _bwd_math_manual(q, k, v, g, *, scale, n, robust, iters, final_row,
-                     vecs=None):
-    """Per-head wrapper over the batched backward (K = 1)."""
-    dq, dk, dv = _bwd_math_batched(
-        q[None], k[None], v[None], g[None], scale=scale, n=n, robust=robust,
-        iters=iters, final_row=final_row,
-        vecs=None if vecs is None else vecs[None],
-    )
-    return dq[0], dk[0], dv[0]
 
 
 def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
