@@ -66,8 +66,11 @@ class Model(Trainer):
 
     def compute_loss(self, params, model_state, batch, rng):
         """Cutmix + label-smoothed CE, mixed by realized box area
-        (ref CIFAR100.py:119-141)."""
-        k_aug, k_mix = jax.random.split(rng)
+        (ref CIFAR100.py:119-141). Applies the model in TRAIN mode:
+        ``deterministic=False`` (dropout/drop-path live), mutable
+        ``batch_stats`` when the arch has BN — the reference trains
+        BN-heavy levit/S60 through this script (ref CIFAR100.py:66-88)."""
+        k_aug, k_mix, k_drop = jax.random.split(rng, 3)
         x = augment_batch(
             k_aug,
             batch["image"],
@@ -84,17 +87,32 @@ class Model(Trainer):
                 onehot = optax.smooth_labels(onehot, ls)
             return optax.softmax_cross_entropy(logits, onehot)
 
+        variables = {"params": params, **model_state}
+        needs_bn = "batch_stats" in model_state
+
+        def apply_train(inp):
+            if needs_bn:
+                logits, upd = self.model.apply(
+                    variables, inp, deterministic=False,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop},
+                )
+                return logits, {**model_state, **dict(upd)}
+            logits = self.model.apply(
+                variables, inp, deterministic=False, rngs={"dropout": k_drop}
+            )
+            return logits, model_state
+
         if self.args.cutmix:
             x, (la, lb, lam) = ops.cutmix(k_mix, x, labels, beta=1.0)
-            logits = self.model.apply({"params": params, **model_state}, x)
+            logits, new_state = apply_train(x)
             loss = lam * ce(logits, la) + (1 - lam) * ce(logits, lb)
             acc_labels = la
         else:
-            logits = self.model.apply({"params": params, **model_state}, x)
+            logits, new_state = apply_train(x)
             loss = ce(logits, labels)
             acc_labels = labels
         acc = jnp.mean((jnp.argmax(logits, -1) == acc_labels).astype(jnp.float32))
-        return loss.mean(), {"metrics": {"accuracy": acc}}
+        return loss.mean(), {"metrics": {"accuracy": acc}, "model_state": new_state}
 
     def eval_step(self, params, model_state, batch):
         """Top-1 under optional Gaussian eval noise (ref CIFAR100.py:148-156;

@@ -97,8 +97,11 @@ def pivot(runs, rows_by, cols_by, metric, log):
             continue
         ckey = _key(run, cols_by) if cols_by else ""
         cells[(_key(run, rows_by), ckey)].append(best)
-    rkeys = sorted({r for r, _ in cells})
-    ckeys = sorted({c for _, c in cells})
+    # type-stable sort: _key yields floats for numeric hparams but "?" for
+    # runs missing one — a mixed float/str sorted() raises TypeError
+    by_type = lambda k: (isinstance(k, str), k)
+    rkeys = sorted({r for r, _ in cells}, key=by_type)
+    ckeys = sorted({c for _, c in cells}, key=by_type)
     table = np.full((len(rkeys), len(ckeys)), np.nan)
     for (r, c), vals in cells.items():
         table[rkeys.index(r), ckeys.index(c)] = float(np.mean(vals))

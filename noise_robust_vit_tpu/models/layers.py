@@ -104,11 +104,17 @@ class Attention(nn.Module):
 
         b, n = x.shape[0], x.shape[1]
         m = context.shape[1]
+        # attention-weights dropout fires in train mode (the lucidrains
+        # convention drops ON the normalized attention matrix before @v,
+        # ref vit_for_small_dataset.py:64-65, deepvit.py; cait.py already
+        # matched) — the fused kernels only serve the dropout-free path
+        attn_drop = self.dropout > 0.0 and not deterministic
         if context is x:
             qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
             if (
                 mask is None
                 and not is_recording()
+                and not attn_drop
                 and ops.packed_dispatch(self.robust, n, self.dim_head, self.heads, b)
             ):
                 # packed fused kernel: consumes the qkv projection layout
@@ -141,7 +147,7 @@ class Attention(nn.Module):
         k = constrain_activation(k, "data", "model", None, None)
         v = constrain_activation(v, "data", "model", None, None)
 
-        if is_recording():
+        if is_recording() or attn_drop:
             attn = ops.attention_weights(
                 q, k,
                 scale=self.dim_head**-0.5,
@@ -150,7 +156,9 @@ class Attention(nn.Module):
                 sinkhorn_iters=self.sinkhorn_iters,
                 final_row_norm=self.final_row_norm,
             )
-            self.sow("intermediates", "attn", attn)
+            if is_recording():
+                self.sow("intermediates", "attn", attn)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
         else:
             out = ops.dot_product_attention(

@@ -60,10 +60,11 @@ def _compiler_params():
     if _VMEM_LIMIT:
         return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     return None
-# Sinkhorn scaling-vector residual rows, padded to a full sublane tile
-# (skips the backward's forward-replay of the scaling iteration — round-1
-# win, CLAUDE.md "stored-vector bwd")
-_VEC_ROWS = 8
+# Sinkhorn scaling-vector residual rows live in a sublane-tiled buffer:
+# the row count is _num_vecs rounded up to a multiple of 8 (a full f32
+# sublane tile). Skips the backward's forward-replay of the scaling
+# iteration — round-1 win, CLAUDE.md "stored-vector bwd".
+_SUBLANE = 8
 
 
 def _num_vecs(iters: int, final_row: bool, robust: bool) -> int:
@@ -73,6 +74,13 @@ def _num_vecs(iters: int, final_row: bool, robust: bool) -> int:
     if not robust:
         return 1
     return max(iters - 1, 0) + int(final_row) + iters + 1
+
+
+def _vec_rows(iters: int, final_row: bool, robust: bool) -> int:
+    """Residual-buffer row count: _num_vecs rounded up to a sublane tile
+    (fixed 8 overflowed for iters>=4 with final_row_norm — round-2 advisor
+    finding)."""
+    return _round_up(_num_vecs(iters, final_row, robust), _SUBLANE)
 
 
 def _heads_per_block(dim_head: int) -> int:
@@ -98,7 +106,7 @@ def _pick_batch_group(b: int, per_image_bytes: int, budget: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, *out_refs, scale, n, n_pad, d, robust,
-                iters, final_row, g, hpb, want_vecs):
+                iters, final_row, g, hpb, want_vecs, vec_rows=0):
     o_ref = out_refs[0]
     vec_ref = out_refs[1] if want_vecs else None
     # pad the full (128-lane-aligned) blocks once, THEN slice heads — Mosaic
@@ -123,7 +131,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *out_refs, scale, n, n_pad, d, robust,
     if want_vecs:
         out, vecs = res
         k_v = vecs.shape[1]
-        vecs = jnp.pad(vecs, ((0, 0), (0, _VEC_ROWS - k_v), (0, 0)))
+        vecs = jnp.pad(vecs, ((0, 0), (0, vec_rows - k_v), (0, 0)))
     else:
         out = res
     for gi in range(g):
@@ -208,19 +216,21 @@ def _packed_fwd_impl(qkv, heads, dim_head, scale, robust, iters, final_row,
     if robust:
         per_image += hpb * n_pad * n_pad * 4
     g = _pick_batch_group(b, per_image, budget=_VMEM_BUDGET)
+    vec_rows = _vec_rows(iters, final_row, robust)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, n_pad=n_pad, d=d, robust=robust,
         iters=iters, final_row=final_row, g=g, hpb=hpb, want_vecs=want_vecs,
+        vec_rows=vec_rows,
     )
     out_specs = pl.BlockSpec((g, n, width), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, n, heads * d), qkv.dtype)
     if want_vecs:
         out_specs = (out_specs, pl.BlockSpec(
-            (g, hpb, _VEC_ROWS, n_pad), lambda i, j: (i, j, 0, 0),
+            (g, hpb, vec_rows, n_pad), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM))
         out_shape = (out_shape, jax.ShapeDtypeStruct(
-            (b, heads, _VEC_ROWS, n_pad), jnp.float32))
+            (b, heads, vec_rows, n_pad), jnp.float32))
     res = pl.pallas_call(
         kernel,
         grid=(b // g, head_groups),
@@ -267,7 +277,8 @@ def _packed_bwd_impl(qkv, dout, heads, dim_head, scale, robust, iters,
     operands = [qkv, qkv, qkv, dout]
     if vecs is not None:
         in_specs.append(pl.BlockSpec(
-            (g, hpb, _VEC_ROWS, n_pad), lambda i, j: (i, j, 0, 0),
+            (g, hpb, _vec_rows(iters, final_row, robust), n_pad),
+            lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM))
         operands.append(vecs)
     dq, dk, dv = pl.pallas_call(

@@ -190,13 +190,32 @@ def _reference_attention(q, k, v, scale, robust, iters, final_row):
     ).astype(v.dtype)
 
 
+def _add_bias(s, bias):
+    """Add an additive logit bias to ``s [K, n_pad, n_pad]``. ``bias`` is
+    either [K, n_pad, n_pad] or [gg, n_pad, n_pad] with gg dividing K (the
+    per-(window·head) bias broadcast over a batch group) — the broadcast
+    happens inside the elementwise add, never materialized."""
+    kb = s.shape[0]
+    gg = bias.shape[0]
+    if gg == kb:
+        return s + bias
+    gb = kb // gg
+    n_pad = s.shape[-1]
+    s = s.reshape(gb, gg, n_pad, n_pad) + bias[None]
+    return s.reshape(kb, n_pad, n_pad)
+
+
 def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
-                      want_vecs=False):
+                      want_vecs=False, bias=None):
     """Batched forward math over a leading K = (image × head) dim
     (q/k/v [K, n_pad, d]); the
     Sinkhorn scaling iteration — a sequential chain of matvec reductions —
     runs ONCE over [K, N, N] instead of K times (round-2: chain batching is
     what keeps the VPU pipeline full).
+
+    ``bias`` (optional, [K or K-divisor, n_pad, n_pad], f32) is added to the
+    scaled logits BEFORE the softmax — the relative-position-bias / shift-mask
+    operand of the windowed models (ref swin.py:186-237, levit.py:225-238).
 
     Returns ``out [K, n_pad, dv]`` and, with ``want_vecs``, the residual
     stack ``[K, R, n_pad]`` (scaling vectors + softmax log-normalizer)."""
@@ -206,38 +225,37 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
+    if bias is not None:
+        s = _add_bias(s, bias)
     needs_mask = n != n_pad
     # 2D iota masks broadcast over K (scoped-VMEM discipline — see
     # _bwd_math_batched)
     if needs_mask:
         col2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-        row2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
         s = jnp.where(col2[None] < n, s, -1e9)
-    lse_row = None
-    if want_vecs:
-        # explicit softmax so the log-normalizer lse = m + log r can ride the
-        # residual stack: the backward then rebuilds attn = exp(s − lse) in
-        # ONE VPU pass instead of replaying max/exp/sum/div (round-2 win)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = jnp.sum(e, axis=-1, keepdims=True)
-        lse_row = (m + jnp.log(r)).reshape(kb, 1, n_pad)
-        if needs_mask:
-            # padded COLS of e are exp(-1e9−…) = 0 exactly; only padded rows
-            # need zeroing, fused with the normalize multiply
-            attn = jnp.where(row2[None] < n, e * (1.0 / r), 0.0)
-        else:
-            attn = e * (1.0 / r)
-    else:
-        attn = jax.nn.softmax(s, axis=-1)
-        if needs_mask:
-            attn = jnp.where(
-                ((row2 < n) & (col2 < n))[None], attn, 0.0
-            )
+    # The normalized attention matrix is NEVER materialized: the chain and
+    # the output GEMM run on the unnormalized e = exp(s − m), with the row
+    # normalizer 1/r (and the padded-row zeroing) folded into the TINY
+    # per-row scaling vectors — one fewer N² VPU pass than normalizing e
+    # (round-3 win; all reductions still equal the normalized-attn ones
+    # exactly, so the clamped-reciprocal semantics are unchanged).
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    r = jnp.sum(e, axis=-1, keepdims=True)  # [K, N, 1]
+    lse_row = (m + jnp.log(r)).reshape(kb, 1, n_pad) if want_vecs else None
+    inv_r = 1.0 / r
+    if needs_mask:
+        # padded COLS of e are exp(-1e9−…) = 0 exactly; padded ROWS are
+        # zeroed through the folded scaling vector
+        rowmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n
+        )[None]
+        inv_r = jnp.where(rowmask, inv_r, 0.0)
 
     vf = v.astype(jnp.float32)
-    a = None
     a_rows, b_rows = [], []
+    # folded per-row output scale: a_fin/r with padded rows zeroed
+    a_scale = inv_r
     if robust:
         def _recip(x):
             # clamped reciprocal (see ops/sinkhorn.py::sinkhorn_scalings)
@@ -247,27 +265,28 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
             return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
         b = jnp.ones((kb, 1, n_pad), jnp.float32)
-        a = jnp.ones((kb, n_pad, 1), jnp.float32)
         for i in range(iters):
             # i == 0: rowsum(softmax) ≡ 1 as a function of the logits (value
             # AND gradient), so the first row normalization is the identity
             if i > 0:
-                a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+                # rowsum(attn ⊙ b) = rowsum(e ⊙ b)/r; padded rows get 0 via
+                # the masked inv_r → _recip gives exactly the reference's 1.0
+                a = _recip(jnp.sum(e * b, axis=-1, keepdims=True) * inv_r)
                 a_rows.append(a.reshape(kb, 1, n_pad))
-            b = _recip(jnp.sum(attn * a, axis=-2, keepdims=True))
+                a_scale = a * inv_r
+            b = _recip(jnp.sum(e * a_scale, axis=-2, keepdims=True))
             b_rows.append(b)
         if final_row:
-            a = _recip(jnp.sum(attn * b, axis=-1, keepdims=True))
+            a = _recip(jnp.sum(e * b, axis=-1, keepdims=True) * inv_r)
             a_rows.append(a.reshape(kb, 1, n_pad))
+            a_scale = a * inv_r
         vf = vf * b.reshape(kb, n_pad, 1)
 
     out = jax.lax.dot_general(
-        attn, vf,
+        e, vf,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
-    if robust:
-        out = out * a
+    ) * a_scale
     if want_vecs:
         # [K, Ka+Kb+1, N] stack of the (tiny) scaling vectors (robust only)
         # + the softmax log-normalizer — ROW-major so the lane axis is N
@@ -277,7 +296,7 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
 
 
 def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
-                      vecs=None):
+                      vecs=None, bias=None, want_ds=False):
     """Hand-derived backward, batched over a leading K = (image × head) dim
     (recompute-in-VMEM; q/k/v/g are [K, n_pad, d], vecs [K, R, n_pad]).
 
@@ -311,6 +330,8 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         qf, kf, dimension_numbers=BATCHED_NN,
         preferred_element_type=jnp.float32,
     ) * scale
+    if bias is not None:
+        s = _add_bias(s, bias)
     needs_mask = n != n_pad
     # 2D iota masks broadcast over K — a [K,N,N] int32 iota costs a full
     # scoped-VMEM N² buffer per operand (the 16MB Mosaic limit is the K
@@ -408,14 +429,19 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         preferred_element_type=jnp.float32,
     )  # Aᵀ(a⊙G), [K, N, D]
     dv = b_fin * t1
-    # direct dA = a ⊙ (G Vᵀ) ⊙ bᵀ, with a folded into the GEMM operand
-    # (ag is already a⊙G) — one N² multiply pass instead of two
+    # direct dA = a ⊙ (G Vᵀ) ⊙ bᵀ with BOTH diagonals folded into the GEMM
+    # operands (ag = a⊙G, bv = b⊙V) — zero N² multiply passes (round-3:
+    # previously b was applied as a broadcast multiply over the N² output)
     dA = jax.lax.dot_general(
-        ag, vf, dimension_numbers=BATCHED_NN,
+        ag, bv, dimension_numbers=BATCHED_NN,
         preferred_element_type=jnp.float32,
-    ) * as_row(b_fin)
+    )
     da = jnp.sum(gf * o_over_a, axis=-1, keepdims=True)  # for a_last
     db = jnp.sum(t1 * vf, axis=-1, keepdims=True)  # for b_T, as [K,N,1]
+    # softmax-vjp row term of the DIRECT dA, by identity instead of an N²
+    # reduce (round-3): rowsum(dA ⊙ A) = a ⊙ rowsum(G ⊙ (A·(b⊙V)))
+    # = a_fin ⊙ da — both factors already live
+    row_direct = a_fin * da
 
     def mv(mat_T, vec_col):
         # A @ x or Aᵀ @ x with x [K,N,1] via masked sums (VPU, stays in VMEM)
@@ -460,7 +486,7 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         db = mv(True, dr).reshape(kb, n_pad, 1)  # grad into b_{t-1}
         da = jnp.zeros_like(da)
 
-    row_term = jnp.sum(dA * attn, axis=-1, keepdims=True) + svec
+    row_term = row_direct + svec
     # apply Σ u_k·v_kᵀ as ONE K≈8 MXU matmul instead of len(terms) VPU
     # broadcast-add passes. Round 1 measured this as a LOSS on the old
     # vjp-replay kernel (K pads to 128 on the MXU); on the stored-vec + lse

