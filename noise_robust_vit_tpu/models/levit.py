@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .. import ops
 from ..ops import robust_softmax
 from .layers import DropPath
 
@@ -164,13 +165,21 @@ class LevitAttention(nn.Module):
         table = self.param("attention_biases", nn.initializers.zeros, (h, n_off))
         bias = table[:, jnp.asarray(idxs)]  # [h, N, N]
 
-        # XLA's batched GEMMs beat a fused kernel at LeViT's map sizes
-        # (RESULTS.md "windowed kernel: retired")
-        attn = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * (kd**-0.5) + bias[None].astype(jnp.float32)
-        attn = robust_softmax(attn, robust=self.robust)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        if self.robust and ops.biased_dispatch(True, b, h, n, kd, d, 1):
+            # robust fast path: fused Sinkhorn kernel with the per-head bias
+            # table as the additive operand (nW=1; ref levit.py:271-278)
+            out = ops.biased_attention(
+                q, k, v, bias[None].astype(jnp.float32), scale=kd**-0.5,
+                robust=True, num_windows=1,
+            )
+        else:
+            # plain path: XLA's batched GEMMs beat a fused kernel at LeViT's
+            # map sizes (RESULTS.md "windowed kernel: retired")
+            attn = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * (kd**-0.5) + bias[None].astype(jnp.float32)
+            attn = robust_softmax(attn, robust=self.robust)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = nn.hard_swish(out)
         return LinearBN(self.dim, bn_weight_init=0.0, dtype=self.dtype, name="proj")(

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .. import ops
 from ..ops import robust_softmax, gelu
 from ..ops.windows import (
     cyclic_shift,
@@ -154,8 +155,50 @@ class ShiftedWindowAttention(nn.Module):
 
         mask = shift_attn_mask(ph, pw, (wh, ww), shift)
 
+        # robust fast path: K-batched fused kernel with the rel-pos bias and
+        # shift mask merged into ONE additive per-(window, head) bias operand
+        # — the XLA vector-form Sinkhorn round-trips the [BW, H, N, N]
+        # matrix through HBM once per chain pass (round-3; the round-1
+        # PER-WINDOW kernel remains retired, see RESULTS.md)
+        use_fused = (
+            self.robust
+            and (self.attention_dropout == 0.0 or deterministic)
+            and ops.biased_dispatch(
+                self.robust, bw, heads, n, dh, dh, num_windows
+            )
+        )
+        if use_fused:
+            bias_total = jnp.broadcast_to(
+                rel_bias.astype(jnp.float32), (num_windows, heads, n, n)
+            )
+            if mask is not None:
+                bias_total = bias_total + jnp.asarray(mask)[:, None]
+            if self.version == 2:
+                # cosine attention: fold the clamped per-head logit scale
+                # into the normalized q so the kernel's scale stays static
+                qs = qn * scale.astype(qn.dtype)
+                out = ops.biased_attention(
+                    qs, kn, v, bias_total, scale=1.0, robust=True,
+                    num_windows=num_windows,
+                )
+            else:
+                out = ops.biased_attention(
+                    q, k, v, bias_total, scale=dh**-0.5, robust=True,
+                    num_windows=num_windows,
+                )
+            out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+            out = nn.Dense(
+                self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="proj",
+            )(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = window_reverse(out, (wh, ww), (ph, pw), b)
+            out = cyclic_shift(out, shift, reverse=True)
+            return out[:, :h, :w, :]
+
         # XLA's batched GEMMs beat a per-window fused kernel at Swin's
-        # window sizes (RESULTS.md "windowed kernel: retired")
+        # window sizes for PLAIN softmax (RESULTS.md "windowed kernel:
+        # retired")
         if attn is None:
             attn = jnp.einsum(
                 "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32

@@ -6,6 +6,8 @@ reference's ops layer (ref vit_pytorch_robust/utils.py — SURVEY.md §2.1)."""
 from .activations import gelu
 from .attention import (
     attention_weights,
+    biased_attention,
+    biased_dispatch,
     dot_product_attention,
     packed_attention,
     packed_dispatch,
@@ -24,6 +26,8 @@ from .sinkhorn import robust_softmax, sinkhorn_attention, sinkhorn_normalize
 __all__ = [
     "gelu",
     "attention_weights",
+    "biased_attention",
+    "biased_dispatch",
     "dot_product_attention",
     "packed_attention",
     "packed_dispatch",

@@ -88,8 +88,42 @@ def packed_attention(qkv, heads, dim_head, *, scale=None, robust=False,
 
     if scale is None:
         scale = dim_head**-0.5
+    # forced dispatch off-TPU (set_use_pallas(True) in tests) runs the
+    # kernel in interpret mode so model wiring is exercisable on CPU
+    interpret = jax.default_backend() != "tpu"
     return _impl(qkv, heads, dim_head, float(scale), bool(robust),
-                 int(sinkhorn_iters), bool(final_row_norm))
+                 int(sinkhorn_iters), bool(final_row_norm), interpret)
+
+
+def biased_dispatch(robust: bool, bw: int, heads: int, n: int, d: int,
+                    dv: int, num_windows: int) -> bool:
+    """Dispatch policy for the BIASED fused kernel (`biased_attention`) —
+    the windowed/hierarchical robust models (Swin rel-pos bias + shift mask,
+    LeViT attention-bias tables). Auto-enables for the Sinkhorn path only:
+    the plain-softmax windowed models stay on XLA's batched GEMMs
+    (round-1 RESULTS.md: the fused window kernel lost for vanilla)."""
+    if _USE_PALLAS is False or not robust:
+        return False
+    if _USE_PALLAS is True or use_pallas_default():
+        from .pallas.biased_attention import biased_attention_supported
+
+        return biased_attention_supported(bw, heads, n, d, dv, num_windows)
+    return False
+
+
+def biased_attention(q, k, v, bias, *, scale=None, robust=False,
+                     sinkhorn_iters=3, final_row_norm=True, num_windows=1):
+    """Fused attention with an additive per-(window, head) logit bias —
+    ``q/k [BW, H, N, D]``, ``v [BW, H, N, DV]``, ``bias [nW, H, N, N]``
+    broadcast over the batch (ref swin.py:186-244, levit.py:225-278)."""
+    from .pallas.biased_attention import biased_attention as _impl
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    interpret = jax.default_backend() != "tpu"
+    return _impl(q, k, v, bias, float(scale), bool(robust),
+                 int(sinkhorn_iters), bool(final_row_norm), int(num_windows),
+                 interpret)
 
 
 def attention_weights(

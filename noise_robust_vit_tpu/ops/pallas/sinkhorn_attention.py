@@ -378,7 +378,7 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
             ds, qf, dimension_numbers=BATCHED_AT,
             preferred_element_type=jnp.float32,
         )
-        return dq, dk, dv
+        return (dq, dk, dv, ds) if want_ds else (dq, dk, dv)
 
     def _recip(x):
         # clamped: see ops/sinkhorn.py::sinkhorn_scalings
@@ -506,7 +506,7 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         ds, qf, dimension_numbers=BATCHED_AT,
         preferred_element_type=jnp.float32,
     )
-    return dq, dk, dv
+    return (dq, dk, dv, ds) if want_ds else (dq, dk, dv)
 
 
 def _bwd_kernel(*refs, scale, n, robust, iters, final_row, g, has_vecs):

@@ -8,6 +8,9 @@ Usage: python tools/chain_bench.py [fwd|fb] [plain|robust] [batch] [steps]
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
