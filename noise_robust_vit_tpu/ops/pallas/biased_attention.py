@@ -53,6 +53,20 @@ import os as _os
 _VMEM_BUDGET = int(_os.environ.get("NRV_KERNEL_VMEM_BUDGET", 17.5 * 1024 * 1024))
 
 
+def _pad_n(n: int) -> int:
+    """Padded size of the window-token dim. Windowed N (49, 16, …) is far
+    below the 128-lane tile, so by default every N² pass runs mostly on
+    padding ((128/49)² ≈ 6.8× the useful elements). NRV_BIASED_PAD8=1 pads
+    to the 8-sublane tile instead — the attention matrix becomes
+    [K, ⌈N/8⌉·8, ⌈N/8⌉·8] (non-128 lane widths are legal for values and
+    for blocks that span the array) trading denser VPU passes against
+    Mosaic's preference for 128-aligned MXU operands (round-1 measured that
+    trade as a LOSS at N=196; windowed N is the opposite regime)."""
+    if _os.environ.get("NRV_BIASED_PAD8"):
+        return _round_up(n, 8)
+    return _round_up(n, _LANE)
+
+
 def _pick_groups(bw: int, heads: int, n_pad: int, dmax: int, nw: int,
                  robust: bool, bwd: bool) -> int:
     """Batch-group width gb: all heads ride in one block (heads are small in
@@ -151,7 +165,7 @@ def _biased_fwd_impl(q, k, v, bias, scale, robust, iters, final_row, nw,
                      interpret=False, want_vecs=False):
     bw, heads, n, d = q.shape
     dv = v.shape[-1]
-    n_pad = _round_up(n, _LANE)
+    n_pad = _pad_n(n)
     gb = _pick_groups(bw, heads, n_pad, max(d, dv), nw, robust, bwd=False)
     bias_L, L = _prep_bias(bias, nw, heads, n, n_pad, gb)
     vec_rows = _vec_rows(iters, final_row, robust)
@@ -205,7 +219,7 @@ def _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust, iters, final_row,
                      nw, interpret=False):
     bw, heads, n, d = q.shape
     dv = v.shape[-1]
-    n_pad = _round_up(n, _LANE)
+    n_pad = _pad_n(n)
     gb = _pick_groups(bw, heads, n_pad, max(d, dv), nw, robust, bwd=True)
     bias_L, L = _prep_bias(bias, nw, heads, n, n_pad, gb)
     vec_rows = vecs.shape[2]

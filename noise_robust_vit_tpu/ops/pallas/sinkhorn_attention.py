@@ -387,36 +387,38 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
-    def as_row(vec_col):  # [K, N, 1] → [K, 1, N]
-        return vec_col.reshape(kb, 1, n_pad)
-
     # scaling vectors: restored from the forward residuals when available
     # (saves the full replay — ~4 N×N mul-reduce passes), otherwise replayed.
     # a_0 ≡ 1 (first row norm of a row softmax is the identity in value and
-    # gradient), so its reverse node is skipped below. Lists are COLUMN
-    # [K, N, 1] vectors: as_ = [a_0 .. a_{T-1} (, a_fin)], bs = [1, b_1 .. b_T].
-    ones_col = jnp.ones((kb, n_pad, 1), jnp.float32)
+    # gradient), so its reverse node is skipped below. Lists are ROW
+    # [K, 1, N] vectors — lane-major slices of the residual stack, no
+    # relayout: as_r = [a_0 .. a_{T-1} (, a_fin)], bs_r = [1, b_1 .. b_T].
+    ones_row = jnp.ones((kb, 1, n_pad), jnp.float32)
     if vecs is not None:
         ka = max(iters - 1, 0) + int(final_row)
-        as_ = [ones_col] + [vecs[:, j][:, :, None] for j in range(ka)]
-        bs = [ones_col] + [vecs[:, ka + j][:, :, None] for j in range(iters)]
+        as_r = [ones_row] + [vecs[:, j][:, None, :] for j in range(ka)]
+        bs_r = [ones_row] + [vecs[:, ka + j][:, None, :]
+                             for j in range(iters)]
+        # −b_t² for every chain step, batched over the stack in ONE pass
+        nb2 = -(vecs[:, ka:ka + iters] * vecs[:, ka:ka + iters])
+        nb2_rows = [nb2[:, j][:, None, :] for j in range(iters)]
     else:
-        bs = [ones_col]
-        as_ = []
+        bs_r = [ones_row]
+        as_r = [ones_row]
+        a_col = jnp.ones((kb, n_pad, 1), jnp.float32)
         for i in range(iters):
-            if i == 0:
-                a_t = ones_col
-            else:
-                a_t = _recip(jnp.sum(attn * as_row(bs[-1]),
-                                     axis=-1, keepdims=True))
-            as_.append(a_t)
-            bs.append(_recip(jnp.sum(attn * a_t, axis=-2,
-                                     keepdims=True)).reshape(kb, n_pad, 1))
+            if i > 0:
+                a_col = _recip(jnp.sum(attn * bs_r[-1],
+                                       axis=-1, keepdims=True))
+                as_r.append(a_col.reshape(kb, 1, n_pad))
+            bs_r.append(_recip(jnp.sum(attn * a_col, axis=-2,
+                                       keepdims=True)))
         if final_row:
-            as_.append(_recip(jnp.sum(attn * as_row(bs[-1]),
-                                      axis=-1, keepdims=True)))
-    a_fin = as_[-1]
-    b_fin = bs[-1]
+            as_r.append(_recip(jnp.sum(attn * bs_r[-1], axis=-1,
+                                       keepdims=True)).reshape(kb, 1, n_pad))
+        nb2_rows = [-(b * b) for b in bs_r[1:]]
+    a_fin = as_r[-1].reshape(kb, n_pad, 1)
+    b_fin = bs_r[-1].reshape(kb, n_pad, 1)
 
     bv = b_fin * vf
     o_over_a = jax.lax.dot_general(
@@ -443,58 +445,62 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
     # = a_fin ⊙ da — both factors already live
     row_direct = a_fin * da
 
-    def mv(mat_T, vec_col):
-        # A @ x or Aᵀ @ x with x [K,N,1] via masked sums (VPU, stays in VMEM)
-        if mat_T:
-            return jnp.sum(attn * vec_col, axis=-2, keepdims=True)  # [K,1,N]
-        return jnp.sum(attn * as_row(vec_col), axis=-1, keepdims=True)
-
-    # reverse the iteration. The rank-1 dA contributions (u·vᵀ) are NOT
-    # accumulated into the N×N buffer one at a time — interleaving reductions
-    # with full-matrix read-modify-writes forces a VMEM pass per update.
-    # Instead the loop (only tiny-vector ops + the unavoidable matvec
-    # reductions) collects factor pairs, and their softmax-vjp row terms
-    # come FREE from identities: rowsum((u·vᵀ)⊙A) = u ⊙ (A·v), where A·v is
-    # either the mv() already computed for the chain rule or 1/a_t (the raw
-    # rowsum that produced a_t = recip(A·b_{t-1})). Everything is applied in
-    # ONE fused elementwise traversal at the end.
-    terms = []  # (u, v) [K,N,1] pairs: dA += u·vᵀ
-    svec = jnp.zeros((kb, n_pad, 1), jnp.float32)  # Σ_k u_k ⊙ (A·v_k)
+    # reverse the iteration — the LEAN chain (round-3 ablation: the old
+    # form's tiny-vector ops were a latency-bound serial string costing
+    # ~35 ms/step; this one runs the same math with precomputed −b² rows,
+    # divide-free updates (dr/a_t ≡ −da·a_t) and no da-zeroing dance:
+    # full 110.4 → 89.7 ms on the 12-layer bwd chain; K-splitting the
+    # chain to overlap latency made it WORSE, 92.9/93.4 at 2/4 splits).
+    # The rank-1 dA contributions (u·vᵀ) are NOT accumulated into the N×N
+    # buffer one at a time — they are collected as factor pairs and applied
+    # as ONE K≈8 MXU matmul at the end; their softmax-vjp row terms come
+    # FREE from identities: rowsum((u·vᵀ)⊙A) = u ⊙ (A·v), where A·v is
+    # either the matvec already computed for the chain rule or 1/a_t (the
+    # raw rowsum that produced a_t = recip(A·b_{t-1})).
+    terms = []  # (u, v) [K,1,N] ROW pairs: dA += Σ uᵀ·v (lane↔sublane
+    # relayouts are the expensive primitive in this loop — rows are free
+    # slices of the residual stack, and the rank-1 stack concatenates along
+    # SUBLANES instead of single-lane writes)
+    svec = None  # Σ_k u_k ⊙ (A·v_k), col [K,N,1]
+    db_row = db.reshape(kb, 1, n_pad)
+    da_live = not final_row  # direct da joins the chain at its first node
     if final_row:
         # a* = recip(A b_T); A·b_T = 1/a_fin by construction
-        dr = -da * a_fin * a_fin
-        terms.append((dr, bs[-1]))
-        svec = svec + dr / a_fin
-        db = db + mv(True, dr).reshape(kb, n_pad, 1)
-        da = jnp.zeros_like(da)
+        tmp = da * a_fin
+        dr = -(tmp * a_fin)
+        terms.append((dr.reshape(kb, 1, n_pad), bs_r[-1]))
+        svec = -tmp  # dr / a_fin
+        db_row = db_row + jnp.sum(attn * dr, axis=-2, keepdims=True)
     for t in range(iters - 1, -1, -1):
-        a_t = as_[t]
-        b_t = bs[t + 1]
-        # b_t = recip(Aᵀ a_t): db currently holds grad of b_t (as [K,N,1])
-        dc = -db * (b_t * b_t)
-        m_dc = mv(False, dc)  # A @ dc, [K,N,1]
-        terms.append((a_t, dc))
-        svec = svec + a_t * m_dc
+        # b_t = recip(Aᵀ a_t): db_row holds grad of b_t = bs_r[t+1]
+        dc = db_row * nb2_rows[t]  # [K,1,N] row
+        m_dc = jnp.sum(attn * dc, axis=-1, keepdims=True)  # A·dc, col
+        terms.append((as_r[t], dc))
         if t == 0:
-            # a_0 is the constant 1 — its gradient is discarded exactly
+            # a_0 is the constant 1: contrib = 1 ⊙ m_dc, and its own
+            # gradient is discarded exactly
+            svec = m_dc if svec is None else svec + m_dc
             break
-        da = da + m_dc  # grad into a_t
-        # a_t = recip(A b_{t-1}); A·b_{t-1} = 1/a_t
-        dr = -da * a_t * a_t
-        terms.append((dr, bs[t]))
-        svec = svec + dr / a_t
-        db = mv(True, dr).reshape(kb, n_pad, 1)  # grad into b_{t-1}
-        da = jnp.zeros_like(da)
+        a_t_c = as_r[t].reshape(kb, n_pad, 1)
+        contrib = a_t_c * m_dc
+        svec = contrib if svec is None else svec + contrib
+        da_eff = (da + m_dc) if (da_live and t == iters - 1) else m_dc
+        tmp = da_eff * a_t_c               # = da·a_t
+        svec = svec - tmp                  # dr / a_t = −da·a_t
+        dr = -(tmp * a_t_c)                # [K,N,1] col
+        terms.append((dr.reshape(kb, 1, n_pad), bs_r[t]))
+        db_row = jnp.sum(attn * dr, axis=-2, keepdims=True)  # Aᵀ·dr
 
     row_term = row_direct + svec
-    # apply Σ u_k·v_kᵀ as ONE K≈8 MXU matmul instead of len(terms) VPU
-    # broadcast-add passes. Round 1 measured this as a LOSS on the old
-    # vjp-replay kernel (K pads to 128 on the MXU); on the stored-vec + lse
+    # apply Σ u_kᵀ·v_k as ONE MXU matmul contracting the (tiny, ≤8) STACK
+    # dim instead of len(terms) VPU broadcast-add passes. Round 1 measured
+    # this as a LOSS on the old vjp-replay kernel; on the stored-vec + lse
     # layout it wins: robust step 334.6 → 329.6 ms (765 → 777 img/s).
-    u_mat = jnp.concatenate([u for u, _ in terms], axis=2)  # [K, N, T]
-    v_mat = jnp.concatenate([vv for _, vv in terms], axis=2)  # [K, N, T]
+    u_mat = jnp.concatenate([u for u, _ in terms], axis=1)  # [K, T, N]
+    v_mat = jnp.concatenate([vv for _, vv in terms], axis=1)  # [K, T, N]
     inner = (dA - row_term) + jax.lax.dot_general(
-        u_mat, v_mat, dimension_numbers=BATCHED_NN,
+        u_mat, v_mat,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     ds = attn * inner

@@ -294,7 +294,25 @@ def main():
     n_vecs = max(ITERS - 1, 0) + int(FINAL_ROW) + ITERS + 1
 
     def kernel(q_ref, k_ref, v_ref, g_ref, vec_ref, dq_ref, dk_ref, dv_ref):
-        if mode == "notrans":
+        if mode == "real":
+            # the ACTUAL production math (sinkhorn_attention._bwd_math_batched)
+            # in this harness's [K, n_pad, D] layout — separates "the math is
+            # slow" from "the packed kernel's pack/unpack is slow"
+            from noise_robust_vit_tpu.ops.pallas.sinkhorn_attention import (
+                _bwd_math_batched,
+            )
+
+            real_fn = functools.partial(
+                _bwd_math_batched, robust=True, iters=ITERS,
+                final_row=FINAL_ROW,
+            )
+
+            def run_real(q, k, v, g, vecs, *, scale, n):
+                return real_fn(q, k, v, g, scale=scale, n=n,
+                               vecs=vecs[:, :n_vecs])
+
+            fn = run_real
+        elif mode == "notrans":
             fn = bwd_math_rowmajor
         elif mode.startswith("opt"):
             fn = functools.partial(

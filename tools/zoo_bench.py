@@ -22,10 +22,15 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from noise_robust_vit_tpu import ops
 from noise_robust_vit_tpu.models.factory import create_model
 
 
 def main():
+    import os
+
+    if os.environ.get("NRV_NO_PALLAS"):
+        ops.set_use_pallas(False)
     arch = sys.argv[1]
     robust = (sys.argv[2] if len(sys.argv) > 2 else "vanilla") == "robust"
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
