@@ -50,26 +50,41 @@ def main():
     tx = optax.adamw(1e-3, weight_decay=0.05)
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    has_bn = "batch_stats" in model_state
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, opt_state, model_state, x, y):
+        # true train-mode cost: BN stats update (mutable) when the arch has
+        # them — the semantics examples/classification.py trains with
         def loss_fn(p):
-            out = model.apply({"params": p, **model_state}, x)
+            if has_bn:
+                out, new_state = model.apply(
+                    {"params": p, **model_state}, x,
+                    mutable=["batch_stats"],
+                )
+            else:
+                out, new_state = model.apply({"params": p, **model_state}, x), model_state
             logits = out[0] if isinstance(out, tuple) else out
-            return optax.softmax_cross_entropy_with_integer_labels(
+            loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), y
             ).mean()
+            return loss, new_state
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        if has_bn:
+            model_state = {**model_state, **new_state}
+        return params, opt_state, model_state, loss
 
-    params, opt_state, loss = train_step(params, opt_state, model_state, x, y)
+    params, opt_state, model_state, loss = train_step(
+        params, opt_state, model_state, x, y
+    )
     float(jax.device_get(loss))  # sync: block_until_ready lies on axon
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        params, opt_state, loss = train_step(
+        params, opt_state, model_state, loss = train_step(
             params, opt_state, model_state, x, y
         )
     final_loss = float(jax.device_get(loss))
