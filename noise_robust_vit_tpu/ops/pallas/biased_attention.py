@@ -51,20 +51,35 @@ _LANE = 128
 import os as _os
 
 _VMEM_BUDGET = int(_os.environ.get("NRV_KERNEL_VMEM_BUDGET", 17.5 * 1024 * 1024))
+# Mosaic's actual scoped-stack demand for the 8-aligned (non-128-lane)
+# layouts exceeds the _pick_groups byte model by ~2.5× (measured OOM at
+# 43.8M with a 17.5M budget), so this kernel carries its own higher
+# ceiling — v5e VMEM is 128MB, plenty for the double-buffered IO blocks.
+_BIASED_VMEM_LIMIT = int(
+    _os.environ.get("NRV_BIASED_VMEM_LIMIT", 64 * 1024 * 1024)
+)
+
+
+def _biased_compiler_params():
+    if _BIASED_VMEM_LIMIT:
+        return pltpu.CompilerParams(vmem_limit_bytes=_BIASED_VMEM_LIMIT)
+    return _compiler_params()
 
 
 def _pad_n(n: int) -> int:
     """Padded size of the window-token dim. Windowed N (49, 16, …) is far
-    below the 128-lane tile, so by default every N² pass runs mostly on
-    padding ((128/49)² ≈ 6.8× the useful elements). NRV_BIASED_PAD8=1 pads
-    to the 8-sublane tile instead — the attention matrix becomes
-    [K, ⌈N/8⌉·8, ⌈N/8⌉·8] (non-128 lane widths are legal for values and
-    for blocks that span the array) trading denser VPU passes against
-    Mosaic's preference for 128-aligned MXU operands (round-1 measured that
-    trade as a LOSS at N=196; windowed N is the opposite regime)."""
-    if _os.environ.get("NRV_BIASED_PAD8"):
-        return _round_up(n, 8)
-    return _round_up(n, _LANE)
+    below the 128-lane tile, so lane padding makes every N² pass run mostly
+    on padding ((128/49)² ≈ 6.8× the useful elements). Default: pad to the
+    8-sublane tile only — the attention matrix becomes
+    [K, ⌈N/8⌉·8, ⌈N/8⌉·8] (non-128 lane widths are legal for values and for
+    blocks that span the array), trading denser VPU passes against Mosaic's
+    preference for 128-aligned MXU operands. Round-1 measured that trade as
+    a LOSS at N=196; windowed N is the opposite regime — measured v5e bs128:
+    swin_t robust 590.6 → 867.5 img/s, LeViT_128S robust 6247 → 8487
+    (bs256). NRV_BIASED_PAD128=1 restores lane padding."""
+    if _os.environ.get("NRV_BIASED_PAD128"):
+        return _round_up(n, _LANE)
+    return _round_up(n, 8)
 
 
 def _pick_groups(bw: int, heads: int, n_pad: int, dmax: int, nw: int,
@@ -205,7 +220,7 @@ def _biased_fwd_impl(q, k, v, bias, scale, robust, iters, final_row, nw,
             transcendentals=bw * heads * n_pad * n_pad,
         ),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_biased_compiler_params(),
     )(q, k, v, bias_L)
     return res if want_vecs else (res, None)
 
@@ -258,7 +273,7 @@ def _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust, iters, final_row,
             transcendentals=bw * heads * n_pad * n_pad,
         ),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_biased_compiler_params(),
     )(q, k, v, g, vecs, bias_L)
     # fold the tiled window copies back and unpad
     if L != nw:
