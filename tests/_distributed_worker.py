@@ -29,24 +29,39 @@ from noise_robust_vit_tpu.parallel import (  # noqa: E402
     init_distributed,
     local_batch_to_global,
 )
-from tests._distributed_common import GLOBAL_BATCH, run_one_step  # noqa: E402
+from tests._distributed_common import (  # noqa: E402
+    GLOBAL_BATCH,
+    run_one_step,
+    run_one_step_jpeg,
+)
+
+jpeg_tree = sys.argv[3] if len(sys.argv) > 3 else None
 
 pi, pc = init_distributed()
 assert pc == 2, f"expected 2 processes, got {pc}"
 assert len(jax.devices()) == 8, f"expected 8 global devices, got {len(jax.devices())}"
 
 mesh = global_mesh()
-half = GLOBAL_BATCH // 2
-sl = slice(pi * half, (pi + 1) * half)
 
 
-def put(batch):
-    return local_batch_to_global(
-        {k: v[sl] for k, v in batch.items()}, batch_sharding(mesh)
+def put_global(batch):
+    """Local per-process shard → globally-sharded arrays."""
+    return local_batch_to_global(batch, batch_sharding(mesh))
+
+
+if jpeg_tree is not None:
+    # per-process loader shard over a real JPEG tree (the reference's FFCV
+    # world_size sharding, ref randomlabel.py:72-77)
+    loss = run_one_step_jpeg(
+        jpeg_tree, shard=(pi, pc), batch_size=GLOBAL_BATCH // 2,
+        put_batch=put_global,
     )
-
-
-loss = run_one_step(put)
+else:
+    half = GLOBAL_BATCH // 2
+    sl = slice(pi * half, (pi + 1) * half)
+    loss = run_one_step(
+        lambda batch: put_global({k: v[sl] for k, v in batch.items()})
+    )
 # init_distributed gates print to rank 0 (the reference's
 # setup_for_distributed); force=True overrides so BOTH workers report
 print(f"WORKER_LOSS {loss:.8f}", flush=True, force=True)

@@ -65,6 +65,52 @@ def test_two_process_step_matches_single_process():
     np.testing.assert_allclose(losses[0], ref, atol=1e-5)
 
 
+def test_two_process_jpeg_loader_matches_single_process(tmp_path):
+    """Training from a REAL JPEG tree with per-process loader shards must
+    give the same loss as a single-process loader over the same tree (the
+    reference's sharded FFCV readers, ref examples/randomlabel.py:72-78):
+    crop RNG is keyed by dataset index, so the assembled global batch is a
+    permutation of the single-process batch and the mean loss matches."""
+    from tests._distributed_common import (
+        GLOBAL_BATCH,
+        make_jpeg_tree,
+        run_one_step_jpeg,
+    )
+
+    tree = make_jpeg_tree(tmp_path / "tree")
+    repo = Path(__file__).resolve().parent.parent
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "_distributed_worker.py"),
+             str(rank), str(port), str(tree)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=repo,
+        )
+        for rank in range(2)
+    ]
+    losses = []
+    for p in procs:
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("WORKER_LOSS")]
+        assert lines, f"no loss line in: {out}"
+        losses.append(float(lines[0].split()[1]))
+    assert abs(losses[0] - losses[1]) < 1e-6
+
+    import jax
+
+    from noise_robust_vit_tpu.parallel import batch_sharding, local_mesh
+
+    sharding = batch_sharding(local_mesh())
+    ref = run_one_step_jpeg(
+        tree, shard=(0, 1), batch_size=GLOBAL_BATCH,
+        put_batch=lambda b: {k: jax.device_put(v, sharding)
+                             for k, v in b.items()},
+    )
+    np.testing.assert_allclose(losses[0], ref, atol=1e-5)
+
+
 def test_init_distributed_single_process_fallback(monkeypatch):
     """No env vars → (0, 1) and no distributed init (the reference's
     single-GPU fallback, ref evaluate_copy_detection.py:129-136)."""
