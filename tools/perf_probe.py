@@ -68,6 +68,37 @@ def main():
         import noise_robust_vit_tpu.models.layers as _l
         _l.ops.dot_product_attention = fake_attn
         _l.ops.packed_dispatch = lambda *a, **kw: False
+    elif mode == "noln":
+        # LayerNorm → affine-only module: bounds the best case of any
+        # fused-LN kernel, since no kernel beats deleting the moment
+        # computation + normalization entirely (VERDICT r2 #9 ceiling probe).
+        # Swapping the class (models look up nn.LayerNorm at trace time)
+        # keeps flax's compact-method machinery intact.
+        import flax.linen as fnn
+
+        class AffineOnly(fnn.Module):
+            epsilon: float = 1e-6
+            dtype: object = None
+            param_dtype: object = jnp.float32
+            use_bias: bool = True
+            use_scale: bool = True
+
+            @fnn.compact
+            def __call__(self, x):
+                dtype = self.dtype or x.dtype
+                f = x.shape[-1]
+                y = x.astype(dtype)
+                if self.use_scale:
+                    s = self.param("scale", fnn.initializers.ones, (f,),
+                                   self.param_dtype)
+                    y = y * s.astype(dtype)
+                if self.use_bias:
+                    b = self.param("bias", fnn.initializers.zeros, (f,),
+                                   self.param_dtype)
+                    y = y + b.astype(dtype)
+                return y
+
+        fnn.LayerNorm = AffineOnly
     elif mode == "nosm":
         def nosm_attn(q, k, v, *, scale=None, **kw):
             s = scale or q.shape[-1] ** -0.5
