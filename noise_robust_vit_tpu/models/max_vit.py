@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .. import ops
 from ..ops import robust_softmax, gelu
 
 __all__ = ["MaxViT"]
@@ -120,8 +121,27 @@ class _WindowAttention(nn.Module):
         bias = table[jnp.asarray(idx)]  # [N, N, H]
         bias_hnn = bias.transpose(2, 0, 1)
 
-        # XLA's batched GEMMs beat a per-window fused kernel at these window
-        # sizes (RESULTS.md "windowed kernel: retired")
+        # robust fast path: K-batched fused biased kernel — the rel-pos bias
+        # is one per-head operand shared by every window (num_windows=1),
+        # exactly Swin's dispatch shape (round 3; ref max_vit.py:121-205)
+        if (
+            self.robust
+            and (self.dropout == 0.0 or deterministic)
+            and ops.biased_dispatch(
+                self.robust, bw, heads, n, self.dim_head, self.dim_head, 1
+            )
+        ):
+            out = ops.biased_attention(
+                q, k, v, bias_hnn[None].astype(jnp.float32),
+                scale=self.dim_head**-0.5, robust=True, num_windows=1,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(bw, n, self.dim)
+            out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                           name="to_out")(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+        # plain softmax: XLA's batched GEMMs beat a per-window fused kernel
+        # at these window sizes (RESULTS.md "windowed kernel: retired")
         sim = jnp.einsum(
             "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
         ) * (self.dim_head**-0.5)

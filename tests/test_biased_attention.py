@@ -167,6 +167,30 @@ def test_levit_robust_fused_path_matches_xla():
     )
 
 
+def test_max_vit_robust_fused_path_matches_xla():
+    """End-to-end wiring: a tiny robust MaxViT forward with the fused biased
+    kernel forced on (interpret mode on CPU) must match the XLA path —
+    covers the shared per-head rel-pos bias with nW=1 over BOTH the block-
+    and grid-attention window groupings (models/max_vit.py fast path)."""
+    from noise_robust_vit_tpu import models, ops
+
+    m = models.MaxViT(
+        num_classes=5, dim=32, depth=(1, 1), dim_head=16, window_size=4,
+        dropout=0.0, robust=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 32, 32, 3))
+    variables = m.init(jax.random.PRNGKey(7), x)
+    ref_out = m.apply(variables, x)
+    try:
+        ops.set_use_pallas(True)
+        fused_out = m.apply(variables, x)
+    finally:
+        ops.set_use_pallas(None)
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(ref_out), atol=1e-5, rtol=1e-4
+    )
+
+
 def test_bias_broadcast_over_batch_images():
     """dbias must SUM over the images sharing each window's bias."""
     bw, h, n, d, nw = 6, 1, 9, 16, 2  # 3 images × 2 windows
