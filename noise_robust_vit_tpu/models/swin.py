@@ -129,11 +129,7 @@ class ShiftedWindowAttention(nn.Module):
             kn = k / jnp.clip(
                 jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12, None
             )
-            attn = jnp.einsum(
-                "bhid,bhjd->bhij", qn, kn, preferred_element_type=jnp.float32
-            )
             scale = jnp.exp(jnp.clip(logit_scale, None, math.log(100.0)))
-            attn = attn * scale.astype(attn.dtype)
             # continuous log-CPB bias MLP (ref swin.py:409-442)
             table = jnp.asarray(relative_coords_table(wh, ww))
             cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
@@ -151,7 +147,6 @@ class ShiftedWindowAttention(nn.Module):
             )
             idx = jnp.asarray(relative_position_index(wh, ww))
             rel_bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)[None]
-            attn = None  # v1 computes plain scaled dot-product scores below
 
         mask = shift_attn_mask(ph, pw, (wh, ww), shift)
 
@@ -198,8 +193,14 @@ class ShiftedWindowAttention(nn.Module):
 
         # XLA's batched GEMMs beat a per-window fused kernel at Swin's
         # window sizes for PLAIN softmax (RESULTS.md "windowed kernel:
-        # retired")
-        if attn is None:
+        # retired"); scores are computed here, after the dispatch decision,
+        # so the fused path never materializes the [BW, H, N, N] logits
+        if self.version == 2:
+            attn = jnp.einsum(
+                "bhid,bhjd->bhij", qn, kn, preferred_element_type=jnp.float32
+            )
+            attn = attn * scale.astype(attn.dtype)
+        else:
             attn = jnp.einsum(
                 "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
             ) * (dh**-0.5)

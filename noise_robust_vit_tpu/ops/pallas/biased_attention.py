@@ -326,8 +326,7 @@ def biased_attention_supported(bw: int, heads: int, n: int, d: int, dv: int,
         return False
     if d % 8 or dv % 8:
         return False
-    # a valid batch group must exist: gb | BW and (gb | nW or nW | gb)
-    return any(
-        bw % gb == 0 and (nw % gb == 0 or gb % nw == 0)
-        for gb in (32, 16, 8, 4, 2, 1)
-    )
+    # a valid batch group always exists: gb=1 divides every BW and every nW
+    # divides into cycles of 1, so _pick_groups can always fall back to
+    # per-(window, head) programs — no further shape gate needed here
+    return True

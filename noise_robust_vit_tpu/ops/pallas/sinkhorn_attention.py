@@ -191,18 +191,12 @@ def _reference_attention(q, k, v, scale, robust, iters, final_row):
 
 
 def _add_bias(s, bias):
-    """Add an additive logit bias to ``s [K, n_pad, n_pad]``. ``bias`` is
-    either [K, n_pad, n_pad] or [gg, n_pad, n_pad] with gg dividing K (the
-    per-(window·head) bias broadcast over a batch group) — the broadcast
-    happens inside the elementwise add, never materialized."""
-    kb = s.shape[0]
-    gg = bias.shape[0]
-    if gg == kb:
-        return s + bias
-    gb = kb // gg
-    n_pad = s.shape[-1]
-    s = s.reshape(gb, gg, n_pad, n_pad) + bias[None]
-    return s.reshape(kb, n_pad, n_pad)
+    """Add an additive logit bias to ``s [K, n_pad, n_pad]``. Callers
+    (biased_attention's kernels) reshape their VMEM bias block to the full
+    K dim first — window-group broadcasting happens in the BlockSpec index
+    map, never here."""
+    assert bias.shape[0] == s.shape[0], (bias.shape, s.shape)
+    return s + bias
 
 
 def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,

@@ -53,17 +53,24 @@ def main():
     has_bn = "batch_stats" in model_state
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, opt_state, model_state, x, y):
-        # true train-mode cost: BN stats update (mutable) when the arch has
-        # them — the semantics examples/classification.py trains with
+    def train_step(params, opt_state, model_state, x, y, key):
+        # true train-mode cost: deterministic=False (dropout/drop-path live)
+        # + BN stats update (mutable) when the arch has them — the exact
+        # semantics examples/classification.py trains with
+        rngs = {"dropout": key}
+
         def loss_fn(p):
             if has_bn:
                 out, new_state = model.apply(
                     {"params": p, **model_state}, x,
+                    deterministic=False, rngs=rngs,
                     mutable=["batch_stats"],
                 )
             else:
-                out, new_state = model.apply({"params": p, **model_state}, x), model_state
+                out, new_state = model.apply(
+                    {"params": p, **model_state}, x,
+                    deterministic=False, rngs=rngs,
+                ), model_state
             logits = out[0] if isinstance(out, tuple) else out
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), y
@@ -77,15 +84,16 @@ def main():
             model_state = {**model_state, **new_state}
         return params, opt_state, model_state, loss
 
+    step_key = jax.random.PRNGKey(1)
     params, opt_state, model_state, loss = train_step(
-        params, opt_state, model_state, x, y
+        params, opt_state, model_state, x, y, step_key
     )
     float(jax.device_get(loss))  # sync: block_until_ready lies on axon
 
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, model_state, loss = train_step(
-            params, opt_state, model_state, x, y
+            params, opt_state, model_state, x, y, step_key
         )
     final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
