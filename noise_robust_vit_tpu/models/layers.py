@@ -32,6 +32,19 @@ from ..utils import trunc_normal_init
 _REC = threading.local()
 
 
+def _ln_cls():
+    """LayerNorm class for the shared blocks — ``NRV_FUSED_LN=1`` swaps in
+    the one-pass Pallas kernel module (param-compatible; the VERDICT-r2 #9
+    experiment, see ops/pallas/fused_ln.py and RESULTS.md)."""
+    import os
+
+    if os.environ.get("NRV_FUSED_LN"):
+        from ..ops.norms import FusedLayerNorm
+
+        return FusedLayerNorm
+    return nn.LayerNorm
+
+
 @contextlib.contextmanager
 def recording():
     """While active, ``Attention`` modules sow their attention weights into
@@ -65,7 +78,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         if self.pre_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            x = _ln_cls()(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = constrain_activation(x, "data", None, "model")
         x = self.act(x)
@@ -99,7 +112,7 @@ class Attention(nn.Module):
     def __call__(self, x, *, context=None, mask=None, deterministic: bool = True):
         inner = self.heads * self.dim_head
         if self.pre_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            x = _ln_cls()(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         context = x if context is None else context
 
         b, n = x.shape[0], x.shape[1]
@@ -222,7 +235,7 @@ class Transformer(nn.Module):
             )(x, deterministic=deterministic) + x
             self.sow("intermediates", "block_out", x)
         if self.final_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            x = _ln_cls()(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 

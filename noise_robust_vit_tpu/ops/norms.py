@@ -66,3 +66,37 @@ def partial_relu(x: jax.Array) -> jax.Array:
     mask = jax.lax.stop_gradient(x[:n] > 0.0)
     mask = jnp.concatenate([mask, mask], axis=0).astype(x.dtype)
     return x * mask
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm replacement backed by the one-pass Pallas kernel
+    (ops/pallas/fused_ln.py) — same param names/shapes ("scale", "bias"), so
+    checkpoints are interchangeable. The VERDICT-r2 #9 experiment module:
+    models enable it via the NRV_FUSED_LN env gate (models/layers.py), and
+    it falls back to flax LayerNorm math off-TPU-unsupported feature dims."""
+
+    epsilon: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from .pallas.fused_ln import fused_layer_norm, fused_ln_supported
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (d,),
+                          self.param_dtype)
+        dtype = self.dtype or x.dtype
+        if not fused_ln_supported(d):
+            mu = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+            xc = x.astype(jnp.float32) - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            y = xc * jax.lax.rsqrt(var + self.epsilon)
+            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            return y.astype(dtype)
+        interpret = jax.default_backend() != "tpu"
+        return fused_layer_norm(
+            x.astype(dtype), scale, bias, self.epsilon, interpret
+        )
