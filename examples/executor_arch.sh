@@ -12,9 +12,11 @@ STRENGTH=${STRENGTH:-3}
 BS=${BS:-256}
 DATASET=${DATASET:-ImageNet100}
 # reference families: 9 convnets then 4 transformers (executor.sh:13-24);
-# defaults trimmed to the registered zoo, env-overridable
-CONV_ARCHS=${CONV_ARCHS:-"resnet18 resnet34 resnet50 resnet101"}
-TRANS_ARCHS=${TRANS_ARCHS:-"swin_t swin_s vit_b_16"}
+# defaults trimmed to the registered zoo, env-overridable. Unset-only
+# defaults (`-`, not `:-`) so CONV_ARCHS="" means "no convnets", matching
+# executor_grouped.sh — a `:-` here silently re-adds the default family
+CONV_ARCHS=${CONV_ARCHS-"resnet18 resnet34 resnet50 resnet101"}
+TRANS_ARCHS=${TRANS_ARCHS-"swin_t swin_s vit_b_16"}
 
 run_arch () {
   arch=$1; lr=$2; wd=$3

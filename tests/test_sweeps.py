@@ -220,7 +220,7 @@ _CELL = {
         "DATASET": "synthetic", "BS": "256"},
     "executor_arch.sh": {
         "EPOCHS": "1", "CONV_ARCHS": "", "TRANS_ARCHS": "vit_tiny_test",
-        "DATASET": "synthetic", "BS": "256"},
+        "DATASET": "synthetic", "BS": "64"},
     "alberto.sh": {"EPOCHS": "1"},
 }
 
