@@ -22,6 +22,7 @@ from .distributed import (
     setup_print_once,
 )
 from .fsdp import fsdp_param_shardings, shard_params_fsdp
+from .pp import pipeline_forward, pipeline_shardings, stack_layer_params
 from .tp import (
     DEFAULT_TP_RULES,
     constrain_activation,
@@ -39,6 +40,9 @@ __all__ = [
     "setup_print_once",
     "fsdp_param_shardings",
     "shard_params_fsdp",
+    "pipeline_forward",
+    "pipeline_shardings",
+    "stack_layer_params",
     "local_mesh",
     "make_mesh",
     "replicated",
