@@ -89,11 +89,20 @@ def _spec_for(path: Sequence[str], leaf, rules) -> P:
 def tp_param_shardings(params: Any, mesh: Mesh, rules=DEFAULT_TP_RULES):
     """Pytree of NamedShardings matching ``params``: transformer GEMM kernels
     sharded over the ``model`` mesh axis per ``rules``; everything else
-    replicated (well, sharded only over nothing — DP replication)."""
+    replicated (well, sharded only over nothing — DP replication). A dim not
+    divisible by the model-axis size falls back to replication, so this is
+    safe over a whole TrainState (optimizer moments mirror the param paths
+    and pick up the same specs)."""
+    axis = mesh.shape.get("model", 1)
 
     def visit(path, leaf):
         keys = [getattr(p, "key", str(p)) for p in path]
-        return NamedSharding(mesh, _spec_for(keys, leaf, rules))
+        spec = _spec_for(keys, leaf, rules)
+        for dim, name in enumerate(spec):
+            if name == "model" and leaf.shape[dim] % axis:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(visit, params)
 

@@ -62,6 +62,14 @@ def make_config(parser: argparse.Namespace | argparse.ArgumentParser):
     g.add_argument("--sync-batchnorm", type=_str2bool, default=True,
                    help="global-batch BN stats; free under jit DP")
     g.add_argument("--eval-each-epoch", type=_str2bool, default=True)
+    g.add_argument("--parallelism", type=str, default="dp",
+                   choices=("dp", "fsdp", "tp", "tp_fsdp"),
+                   help="state placement over the mesh: dp replicates (the "
+                        "reference's DDP), fsdp=ZeRO-3 shards params+opt "
+                        "moments over data, tp adds Megatron kernel "
+                        "shardings over a model axis (parallel/)")
+    g.add_argument("--tp-degree", type=int, default=2,
+                   help="model-axis size for --parallelism tp/tp_fsdp")
     g.add_argument("--checkpoint-frequency", type=int, default=0)
     g.add_argument("--save-final-model", type=_str2bool, default=False)
     g.add_argument("--architecture", type=str, default="simple_vit")

@@ -33,7 +33,16 @@ import optax
 from flax import struct
 from flax.core import unfreeze
 
-from ..parallel import batch_sharding, local_mesh, replicated
+from ..parallel import (
+    batch_sharding,
+    fsdp_param_shardings,
+    local_mesh,
+    make_mesh,
+    replicated,
+    tp_param_shardings,
+    tp_shardings_active,
+)
+from ..parallel.tp import DEFAULT_TP_RULES
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .logging import RunLogger
 from .optim import make_optimizer
@@ -56,6 +65,7 @@ class Trainer:
         self.logger = RunLogger(args.folder)
         self.epoch = 0
         self.mesh = None
+        self._parallelism = "dp"
         self.model = None
         self.train_loader: Iterable | None = None
         self.val_loader: Iterable | None = None
@@ -132,6 +142,42 @@ class Trainer:
     def init_params(self, sample_batch):
         return self.model.init(self.next_rng(), sample_batch["image"])
 
+    def _compute_state_shardings(self, mode: str):
+        """NamedSharding pytree for the full TrainState under ``mode``.
+        Optimizer moments mirror the param paths, so the path/shape-based
+        rules (parallel/tp.py, parallel/fsdp.py) apply to the whole state
+        pytree; scalars and small leaves stay replicated."""
+        if mode == "dp":
+            rep = replicated(self.mesh)
+            return jax.tree_util.tree_map(lambda _: rep, self.state)
+        if mode == "fsdp":
+            return fsdp_param_shardings(self.state, self.mesh)
+        if mode == "tp":
+            return tp_param_shardings(self.state, self.mesh)
+        if mode == "tp_fsdp":
+            return fsdp_param_shardings(
+                self.state, self.mesh, tp_rules=DEFAULT_TP_RULES
+            )
+        raise ValueError(
+            f"unknown parallelism {mode!r} (dp | fsdp | tp | tp_fsdp)"
+        )
+
+    def _with_mesh_ctx(self, jitted):
+        """Call ``jitted`` under the mesh + activation-sharding-constraint
+        context for non-DP modes (the constraints stop the GSPMD partitioner
+        from round-tripping attention activations through replicated
+        layouts — see parallel/tp.py::tp_shardings_active; valid for FSDP
+        too, where they pin batch-sharded activations)."""
+        if self._parallelism == "dp":
+            return jitted
+        mesh = self.mesh
+
+        def call(*a, **k):
+            with mesh, tp_shardings_active(mesh):
+                return jitted(*a, **k)
+
+        return call
+
     def _build_train_step(self):
         tx = self.tx
 
@@ -156,7 +202,7 @@ class Trainer:
             )
             return new_state, metrics
 
-        return jax.jit(
+        return self._with_mesh_ctx(jax.jit(
             train_step,
             in_shardings=(
                 self._state_shardings,
@@ -165,17 +211,17 @@ class Trainer:
             ),
             out_shardings=(self._state_shardings, replicated(self.mesh)),
             donate_argnums=(0,),
-        )
+        ))
 
     def _build_eval_step(self):
         def eval_step(state: TrainState, batch):
             return self.eval_step(state.params, state.model_state, batch)
 
-        return jax.jit(
+        return self._with_mesh_ctx(jax.jit(
             eval_step,
             in_shardings=(self._state_shardings, batch_sharding(self.mesh)),
             out_shardings=replicated(self.mesh),
-        )
+        ))
 
     def _shard_batch(self, batch):
         sharding = batch_sharding(self.mesh)
@@ -219,8 +265,19 @@ class Trainer:
         # reference's init_distributed_mode role (evaluate_copy_detection.py:
         # 117-150); after this jax.devices() spans every process's chips
         init_distributed()
+        mode = getattr(self.args, "parallelism", "dp") or "dp"
+        self._parallelism = mode
         if self.mesh is None:
-            self.mesh = local_mesh()
+            if mode in ("tp", "tp_fsdp"):
+                tp_deg = int(getattr(self.args, "tp_degree", 2) or 2)
+                n = len(jax.devices())
+                if n % tp_deg:
+                    raise ValueError(
+                        f"tp_degree {tp_deg} does not divide {n} devices"
+                    )
+                self.mesh = make_mesh((n // tp_deg, tp_deg), ("data", "model"))
+            else:
+                self.mesh = local_mesh()
         self.train_loader = self.initialize_train_loader()
         self.val_loader = self.initialize_val_loader()
         self.initialize_modules()
@@ -229,19 +286,26 @@ class Trainer:
         self.tx = self.initialize_optimizer(total_steps)
         sample = next(iter(self.train_loader))
         self.state = self.init_state(sample)
-        # replicate the state over the mesh
-        rep = replicated(self.mesh)
+        # place the state over the mesh per --parallelism: 'dp' replicates
+        # (the reference's mode); 'fsdp' shards every large leaf (params AND
+        # optimizer moments — their paths mirror the params') over data
+        # (ZeRO-3); 'tp'/'tp_fsdp' add Megatron column/row kernel shardings
+        # over the model axis (parallel/tp.py, parallel/fsdp.py)
+        self._state_shardings = self._compute_state_shardings(mode)
         self.state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), self.state
+            jax.device_put, self.state, self._state_shardings
         )
-        self._state_shardings = jax.tree_util.tree_map(lambda _: rep, self.state)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._steps_per_epoch = steps_per_epoch
         # resume (replaces submitit requeue, SURVEY.md §5)
         restored = restore_checkpoint(self.args.folder, self.state)
         if restored is not None:
-            self.state = restored
+            # re-place: restored leaves arrive host-side; the jitted step's
+            # in_shardings expect the mode's placement
+            self.state = jax.tree_util.tree_map(
+                jax.device_put, restored, self._state_shardings
+            )
             self.epoch = int(jax.device_get(self.state.step)) // steps_per_epoch
             print(f"resumed from step {int(jax.device_get(self.state.step))}")
         self._install_preemption_handler()

@@ -326,3 +326,71 @@ def test_restore_checkpoint_key_selects_subtree(tmp_path):
     np.testing.assert_array_equal(got["params"]["w"], teacher["params"]["w"])
     got = restore_checkpoint(tmp_path, like, key="student")
     np.testing.assert_array_equal(got["params"]["w"], student["params"]["w"])
+
+
+class TestParallelismModes:
+    """--parallelism fsdp/tp/tp_fsdp: the Trainer places the FULL TrainState
+    (params AND optimizer moments) per parallel/{fsdp,tp}.py and trains
+    identically to DP (same seed → same losses, different placement).
+    Beyond the reference (DP-only, SURVEY.md §2.5)."""
+
+    ARCH = "par_mode_vit"
+
+    def _register(self):
+        from noise_robust_vit_tpu.models.factory import _REGISTRY, register_model
+        from noise_robust_vit_tpu.models import SimpleViT
+
+        if self.ARCH not in _REGISTRY:
+            @register_model(self.ARCH)
+            def _m(num_classes, image_size, robust, dtype, **kw):
+                # fc1 [64,256] = 16384 elems — crosses the FSDP min-shard
+                # threshold so the mode has something to shard
+                return SimpleViT(
+                    image_size=image_size, patch_size=8,
+                    num_classes=num_classes, dim=64, depth=1, heads=2,
+                    mlp_dim=256, robust=robust, dtype=dtype,
+                )
+
+    def _run(self, tmp_path, mode):
+        from classification import Model
+
+        self._register()
+        args = _args(tmp_path / mode, epochs=1, architecture=self.ARCH,
+                     eval_each_epoch=False, parallelism=mode, tp_degree=2)
+        m = Model(args)
+        m()
+        return m
+
+    def _leaf_spec(self, tree, *path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node.sharding.spec
+
+    def test_fsdp_shards_params_and_moments(self, tmp_path):
+        m = self._run(tmp_path, "fsdp")
+        spec = self._leaf_spec(
+            m.state.params, "transformer", "layers_0_ff", "fc1", "kernel")
+        assert "data" in tuple(spec), spec
+        # optimizer moments inherit the sharding (ZeRO-3, not ZeRO-1)
+        mu = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda x: x.sharding.spec, m.state.opt_state)
+        )
+        assert any("data" in str(s) for s in mu)
+        assert np.isfinite(m.logger.read("train_log")[-1]["loss"])
+
+    def test_tp_shards_qkv_over_model_axis(self, tmp_path):
+        m = self._run(tmp_path, "tp")
+        assert m.mesh.shape == {"data": 4, "model": 2}
+        spec = self._leaf_spec(
+            m.state.params, "transformer", "layers_0_attn", "to_qkv", "kernel")
+        assert spec == jax.sharding.PartitionSpec(None, "model"), spec
+        assert np.isfinite(m.logger.read("train_log")[-1]["loss"])
+
+    def test_modes_match_dp_losses(self, tmp_path):
+        dp = self._run(tmp_path, "dp")
+        want = [r["loss"] for r in dp.logger.read("train_log")]
+        for mode in ("fsdp", "tp_fsdp"):
+            got = [r["loss"] for r in self._run(tmp_path, mode)
+                   .logger.read("train_log")]
+            np.testing.assert_allclose(got, want, rtol=2e-4, err_msg=mode)
