@@ -351,12 +351,14 @@ class TestParallelismModes:
                     mlp_dim=256, robust=robust, dtype=dtype,
                 )
 
-    def _run(self, tmp_path, mode):
+    def _run(self, tmp_path, mode, **kw):
         from classification import Model
 
         self._register()
-        args = _args(tmp_path / mode, epochs=1, architecture=self.ARCH,
-                     eval_each_epoch=False, parallelism=mode, tp_degree=2)
+        kw = dict(dict(epochs=1), **kw)
+        args = _args(tmp_path / mode, architecture=self.ARCH,
+                     eval_each_epoch=False, parallelism=mode, tp_degree=2,
+                     **kw)
         m = Model(args)
         m()
         return m
@@ -386,6 +388,22 @@ class TestParallelismModes:
             m.state.params, "transformer", "layers_0_attn", "to_qkv", "kernel")
         assert spec == jax.sharding.PartitionSpec(None, "model"), spec
         assert np.isfinite(m.logger.read("train_log")[-1]["loss"])
+
+    def test_fsdp_checkpoint_roundtrip(self, tmp_path):
+        # orbax save of the SHARDED state + resume re-placement per mode
+        m1 = self._run(tmp_path, "fsdp", checkpoint_frequency=1)
+        step1 = int(jax.device_get(m1.state.step))
+        from classification import Model
+
+        args = _args(tmp_path / "fsdp", epochs=2, architecture=self.ARCH,
+                     eval_each_epoch=False, parallelism="fsdp", tp_degree=2,
+                     checkpoint_frequency=1)
+        m2 = Model(args)
+        m2()
+        assert int(jax.device_get(m2.state.step)) == 2 * step1
+        spec = self._leaf_spec(
+            m2.state.params, "transformer", "layers_0_ff", "fc1", "kernel")
+        assert "data" in tuple(spec), spec  # placement survives resume
 
     def test_modes_match_dp_losses(self, tmp_path):
         dp = self._run(tmp_path, "dp")
