@@ -104,6 +104,12 @@ def pipeline_forward(
     b = x.shape[0]
     if b % M:
         raise ValueError(f"batch {b} not divisible by microbatches {M}")
+    depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if depth % S:
+        raise ValueError(
+            f"layer count {depth} not divisible by pipe size {S} "
+            "(stages hold contiguous equal slices)"
+        )
     x_mb = x.reshape(M, b // M, *x.shape[1:])
 
     perm = [(i, i + 1) for i in range(S - 1)]
