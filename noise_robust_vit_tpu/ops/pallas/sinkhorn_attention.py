@@ -289,6 +289,116 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
     return out
 
 
+def _restore_vec_rows(attn, vecs, *, iters, final_row, recip):
+    """Scaling vectors for the reverse chain: restored from the forward
+    residual stack when available (saves the full replay — ~4 N×N mul-reduce
+    passes), otherwise replayed from ``attn``. a_0 ≡ 1 (first row norm of a
+    row softmax is the identity in value and gradient), so its reverse node
+    is skipped by the chain. Lists are ROW [K, 1, N] vectors — lane-major
+    slices of the residual stack, no relayout:
+    as_r = [a_0 .. a_{T-1} (, a_fin)], bs_r = [1, b_1 .. b_T].
+
+    Returns ``(as_r, bs_r, nb2_rows)`` where nb2_rows[t] = −b_{t+1}²
+    (precomputed for every chain step, batched over the stack in ONE pass).
+    """
+    kb, n_pad = attn.shape[0], attn.shape[-1]
+    ones_row = jnp.ones((kb, 1, n_pad), jnp.float32)
+    if vecs is not None:
+        ka = max(iters - 1, 0) + int(final_row)
+        as_r = [ones_row] + [vecs[:, j][:, None, :] for j in range(ka)]
+        bs_r = [ones_row] + [vecs[:, ka + j][:, None, :]
+                             for j in range(iters)]
+        nb2 = -(vecs[:, ka:ka + iters] * vecs[:, ka:ka + iters])
+        nb2_rows = [nb2[:, j][:, None, :] for j in range(iters)]
+    else:
+        bs_r = [ones_row]
+        as_r = [ones_row]
+        a_col = jnp.ones((kb, n_pad, 1), jnp.float32)
+        for i in range(iters):
+            if i > 0:
+                a_col = recip(jnp.sum(attn * bs_r[-1],
+                                      axis=-1, keepdims=True))
+                as_r.append(a_col.reshape(kb, 1, n_pad))
+            bs_r.append(recip(jnp.sum(attn * a_col, axis=-2,
+                                      keepdims=True)))
+        if final_row:
+            as_r.append(recip(jnp.sum(attn * bs_r[-1], axis=-1,
+                                      keepdims=True)).reshape(kb, 1, n_pad))
+        nb2_rows = [-(b * b) for b in bs_r[1:]]
+    return as_r, bs_r, nb2_rows
+
+
+def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
+                         nb2_rows, iters, final_row):
+    """Reverse the Sinkhorn iteration — the LEAN chain (round-3 ablation: the
+    old form's tiny-vector ops were a latency-bound serial string costing
+    ~35 ms/step; this one runs the same math with precomputed −b² rows,
+    divide-free updates (dr/a_t ≡ −da·a_t) and no da-zeroing dance:
+    full 110.4 → 89.7 ms on the 12-layer bwd chain; K-splitting the
+    chain to overlap latency made it WORSE, 92.9/93.4 at 2/4 splits).
+
+    Inputs: ``attn [K, N, N]``, the DIRECT upstream contributions
+    ``dA [K, N, N]`` (grad on the post-softmax matrix), ``da [K, N, 1]``
+    (grad of the final a), ``db_row [K, 1, N]`` (grad of the final b), and
+    ``row_direct [K, N, 1]`` = rowsum(dA ⊙ attn) of the direct dA (callers
+    compute it by identity, never as an N² reduce). Returns ``inner`` such
+    that ``ds = attn ⊙ inner`` is the softmax-vjp'd gradient on the logits.
+
+    The rank-1 dA contributions (u·vᵀ) are NOT accumulated into the N×N
+    buffer one at a time — they are collected as factor pairs and applied
+    as ONE K≈8 MXU matmul at the end; their softmax-vjp row terms come
+    FREE from identities: rowsum((u·vᵀ)⊙A) = u ⊙ (A·v), where A·v is
+    either the matvec already computed for the chain rule or 1/a_t (the
+    raw rowsum that produced a_t = recip(A·b_{t-1})).
+    """
+    a_fin = as_r[-1].reshape(attn.shape[0], attn.shape[1], 1)
+    terms = []  # (u, v) [K,1,N] ROW pairs: dA += Σ uᵀ·v (lane↔sublane
+    # relayouts are the expensive primitive in this loop — rows are free
+    # slices of the residual stack, and the rank-1 stack concatenates along
+    # SUBLANES instead of single-lane writes)
+    svec = None  # Σ_k u_k ⊙ (A·v_k), col [K,N,1]
+    da_live = not final_row  # direct da joins the chain at its first node
+    if final_row:
+        # a* = recip(A b_T); A·b_T = 1/a_fin by construction
+        tmp = da * a_fin
+        dr = -(tmp * a_fin)
+        terms.append((dr.reshape(db_row.shape), bs_r[-1]))
+        svec = -tmp  # dr / a_fin
+        db_row = db_row + jnp.sum(attn * dr, axis=-2, keepdims=True)
+    for t in range(iters - 1, -1, -1):
+        # b_t = recip(Aᵀ a_t): db_row holds grad of b_t = bs_r[t+1]
+        dc = db_row * nb2_rows[t]  # [K,1,N] row
+        m_dc = jnp.sum(attn * dc, axis=-1, keepdims=True)  # A·dc, col
+        terms.append((as_r[t], dc))
+        if t == 0:
+            # a_0 is the constant 1: contrib = 1 ⊙ m_dc, and its own
+            # gradient is discarded exactly
+            svec = m_dc if svec is None else svec + m_dc
+            break
+        a_t_c = as_r[t].reshape(a_fin.shape)
+        contrib = a_t_c * m_dc
+        svec = contrib if svec is None else svec + contrib
+        da_eff = (da + m_dc) if (da_live and t == iters - 1) else m_dc
+        tmp = da_eff * a_t_c               # = da·a_t
+        svec = svec - tmp                  # dr / a_t = −da·a_t
+        dr = -(tmp * a_t_c)                # [K,N,1] col
+        terms.append((dr.reshape(db_row.shape), bs_r[t]))
+        db_row = jnp.sum(attn * dr, axis=-2, keepdims=True)  # Aᵀ·dr
+
+    row_term = row_direct + svec
+    # apply Σ u_kᵀ·v_k as ONE MXU matmul contracting the (tiny, ≤8) STACK
+    # dim instead of len(terms) VPU broadcast-add passes. Round 1 measured
+    # this as a LOSS on the old vjp-replay kernel; on the stored-vec + lse
+    # layout it wins: robust step 334.6 → 329.6 ms (765 → 777 img/s).
+    u_mat = jnp.concatenate([u for u, _ in terms], axis=1)  # [K, T, N]
+    v_mat = jnp.concatenate([vv for _, vv in terms], axis=1)  # [K, T, N]
+    return (dA - row_term) + jax.lax.dot_general(
+        u_mat, v_mat,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
                       vecs=None, bias=None, want_ds=False):
     """Hand-derived backward, batched over a leading K = (image × head) dim
@@ -381,36 +491,9 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
-    # scaling vectors: restored from the forward residuals when available
-    # (saves the full replay — ~4 N×N mul-reduce passes), otherwise replayed.
-    # a_0 ≡ 1 (first row norm of a row softmax is the identity in value and
-    # gradient), so its reverse node is skipped below. Lists are ROW
-    # [K, 1, N] vectors — lane-major slices of the residual stack, no
-    # relayout: as_r = [a_0 .. a_{T-1} (, a_fin)], bs_r = [1, b_1 .. b_T].
-    ones_row = jnp.ones((kb, 1, n_pad), jnp.float32)
-    if vecs is not None:
-        ka = max(iters - 1, 0) + int(final_row)
-        as_r = [ones_row] + [vecs[:, j][:, None, :] for j in range(ka)]
-        bs_r = [ones_row] + [vecs[:, ka + j][:, None, :]
-                             for j in range(iters)]
-        # −b_t² for every chain step, batched over the stack in ONE pass
-        nb2 = -(vecs[:, ka:ka + iters] * vecs[:, ka:ka + iters])
-        nb2_rows = [nb2[:, j][:, None, :] for j in range(iters)]
-    else:
-        bs_r = [ones_row]
-        as_r = [ones_row]
-        a_col = jnp.ones((kb, n_pad, 1), jnp.float32)
-        for i in range(iters):
-            if i > 0:
-                a_col = _recip(jnp.sum(attn * bs_r[-1],
-                                       axis=-1, keepdims=True))
-                as_r.append(a_col.reshape(kb, 1, n_pad))
-            bs_r.append(_recip(jnp.sum(attn * a_col, axis=-2,
-                                       keepdims=True)))
-        if final_row:
-            as_r.append(_recip(jnp.sum(attn * bs_r[-1], axis=-1,
-                                       keepdims=True)).reshape(kb, 1, n_pad))
-        nb2_rows = [-(b * b) for b in bs_r[1:]]
+    as_r, bs_r, nb2_rows = _restore_vec_rows(
+        attn, vecs, iters=iters, final_row=final_row, recip=_recip
+    )
     a_fin = as_r[-1].reshape(kb, n_pad, 1)
     b_fin = bs_r[-1].reshape(kb, n_pad, 1)
 
@@ -439,63 +522,10 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
     # = a_fin ⊙ da — both factors already live
     row_direct = a_fin * da
 
-    # reverse the iteration — the LEAN chain (round-3 ablation: the old
-    # form's tiny-vector ops were a latency-bound serial string costing
-    # ~35 ms/step; this one runs the same math with precomputed −b² rows,
-    # divide-free updates (dr/a_t ≡ −da·a_t) and no da-zeroing dance:
-    # full 110.4 → 89.7 ms on the 12-layer bwd chain; K-splitting the
-    # chain to overlap latency made it WORSE, 92.9/93.4 at 2/4 splits).
-    # The rank-1 dA contributions (u·vᵀ) are NOT accumulated into the N×N
-    # buffer one at a time — they are collected as factor pairs and applied
-    # as ONE K≈8 MXU matmul at the end; their softmax-vjp row terms come
-    # FREE from identities: rowsum((u·vᵀ)⊙A) = u ⊙ (A·v), where A·v is
-    # either the matvec already computed for the chain rule or 1/a_t (the
-    # raw rowsum that produced a_t = recip(A·b_{t-1})).
-    terms = []  # (u, v) [K,1,N] ROW pairs: dA += Σ uᵀ·v (lane↔sublane
-    # relayouts are the expensive primitive in this loop — rows are free
-    # slices of the residual stack, and the rank-1 stack concatenates along
-    # SUBLANES instead of single-lane writes)
-    svec = None  # Σ_k u_k ⊙ (A·v_k), col [K,N,1]
-    db_row = db.reshape(kb, 1, n_pad)
-    da_live = not final_row  # direct da joins the chain at its first node
-    if final_row:
-        # a* = recip(A b_T); A·b_T = 1/a_fin by construction
-        tmp = da * a_fin
-        dr = -(tmp * a_fin)
-        terms.append((dr.reshape(kb, 1, n_pad), bs_r[-1]))
-        svec = -tmp  # dr / a_fin
-        db_row = db_row + jnp.sum(attn * dr, axis=-2, keepdims=True)
-    for t in range(iters - 1, -1, -1):
-        # b_t = recip(Aᵀ a_t): db_row holds grad of b_t = bs_r[t+1]
-        dc = db_row * nb2_rows[t]  # [K,1,N] row
-        m_dc = jnp.sum(attn * dc, axis=-1, keepdims=True)  # A·dc, col
-        terms.append((as_r[t], dc))
-        if t == 0:
-            # a_0 is the constant 1: contrib = 1 ⊙ m_dc, and its own
-            # gradient is discarded exactly
-            svec = m_dc if svec is None else svec + m_dc
-            break
-        a_t_c = as_r[t].reshape(kb, n_pad, 1)
-        contrib = a_t_c * m_dc
-        svec = contrib if svec is None else svec + contrib
-        da_eff = (da + m_dc) if (da_live and t == iters - 1) else m_dc
-        tmp = da_eff * a_t_c               # = da·a_t
-        svec = svec - tmp                  # dr / a_t = −da·a_t
-        dr = -(tmp * a_t_c)                # [K,N,1] col
-        terms.append((dr.reshape(kb, 1, n_pad), bs_r[t]))
-        db_row = jnp.sum(attn * dr, axis=-2, keepdims=True)  # Aᵀ·dr
-
-    row_term = row_direct + svec
-    # apply Σ u_kᵀ·v_k as ONE MXU matmul contracting the (tiny, ≤8) STACK
-    # dim instead of len(terms) VPU broadcast-add passes. Round 1 measured
-    # this as a LOSS on the old vjp-replay kernel; on the stored-vec + lse
-    # layout it wins: robust step 334.6 → 329.6 ms (765 → 777 img/s).
-    u_mat = jnp.concatenate([u for u, _ in terms], axis=1)  # [K, T, N]
-    v_mat = jnp.concatenate([vv for _, vv in terms], axis=1)  # [K, T, N]
-    inner = (dA - row_term) + jax.lax.dot_general(
-        u_mat, v_mat,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    inner = _reverse_chain_inner(
+        attn, dA, da, db.reshape(kb, 1, n_pad), row_direct,
+        as_r=as_r, bs_r=bs_r, nb2_rows=nb2_rows,
+        iters=iters, final_row=final_row,
     )
     ds = attn * inner
     dq = scale * jax.lax.dot_general(

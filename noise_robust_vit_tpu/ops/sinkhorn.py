@@ -17,8 +17,6 @@ reductions into a handful of VPU passes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -125,7 +123,6 @@ def sinkhorn_normalize(
     return attn * a[..., :, None] * b[..., None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "num_iters", "final_row_norm"))
 def sinkhorn_attention(
     logits: jax.Array,
     axis: int = -1,
@@ -136,8 +133,36 @@ def sinkhorn_attention(
 
     Computed in float32 regardless of input dtype (softmax + repeated division
     are precision-sensitive); cast back to the input dtype at the end.
+
+    On TPU, square (self-attention) logits take the fused Pallas kernel
+    (`ops/pallas/sinkhorn_softmax.py`): one VMEM residency of the N² matrix
+    for the whole softmax+Sinkhorn chain instead of XLA's per-reduction HBM
+    round trips — the robust fast path for the models that transform the
+    attention matrix between normalization and the value matmul (CaiT,
+    DeepViT, …) and therefore can't use the fused q/k/v kernels. NOT jitted
+    here on purpose: the dispatch reads a process-global flag
+    (`ops.attention.set_use_pallas`) that a jit cache would freeze.
     """
+    import os
+
     dtype = logits.dtype
+    if axis in (-1, logits.ndim - 1) and not os.environ.get(
+        "NRV_NO_SINKHORN_SOFTMAX"
+    ):
+        # lazy import: ops.attention imports this module at load time
+        from .attention import pallas_dispatch
+
+        if pallas_dispatch(True, logits.shape[-1]):
+            from .pallas.sinkhorn_softmax import (
+                sinkhorn_softmax,
+                sinkhorn_softmax_supported,
+            )
+
+            if sinkhorn_softmax_supported(logits.shape, num_iters):
+                interpret = jax.default_backend() != "tpu"
+                return sinkhorn_softmax(
+                    logits, num_iters, final_row_norm, interpret
+                )
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
     attn = sinkhorn_normalize(attn, num_iters=num_iters, final_row_norm=final_row_norm)
     return attn.astype(dtype)
