@@ -65,8 +65,14 @@ def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps):
     m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
     dx = rstd * (dxhat - m1 - xhat * m2)
     dx_ref[...] = dx.astype(dx_ref.dtype)
-    dg_ref[...] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+    # per-block dg/db partials, padded to an 8-row sublane tile (row 0 holds
+    # the partial, rows 1-7 are zero): Mosaic requires the second-minor block
+    # dim to be 8-divisible or span the array, so a (1, D) block is illegal
+    # on real TPU (interpret mode accepted it)
+    dg_ref[...] = jnp.pad(
+        jnp.sum(dy * xhat, axis=0, keepdims=True), ((0, 7), (0, 0))
+    )
+    db_ref[...] = jnp.pad(jnp.sum(dy, axis=0, keepdims=True), ((0, 7), (0, 0)))
 
 
 def _pad_rows(x2, br):
@@ -112,13 +118,13 @@ def _bwd_impl(x2, g, dy2, eps, interpret):
         ],
         out_specs=[
             pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((8, d), lambda i: (i, 0)),
+            pl.BlockSpec((8, d), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rp, d), x2.dtype),
-            jax.ShapeDtypeStruct((nblk, d), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, d), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * 8, d), jnp.float32),
         ],
         interpret=interpret,
     )(x2, g[None], dy2)
