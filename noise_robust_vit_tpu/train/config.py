@@ -63,13 +63,18 @@ def make_config(parser: argparse.Namespace | argparse.ArgumentParser):
                    help="global-batch BN stats; free under jit DP")
     g.add_argument("--eval-each-epoch", type=_str2bool, default=True)
     g.add_argument("--parallelism", type=str, default="dp",
-                   choices=("dp", "fsdp", "tp", "tp_fsdp"),
+                   choices=("dp", "fsdp", "tp", "tp_fsdp", "pp", "dp_pp"),
                    help="state placement over the mesh: dp replicates (the "
                         "reference's DDP), fsdp=ZeRO-3 shards params+opt "
                         "moments over data, tp adds Megatron kernel "
-                        "shardings over a model axis (parallel/)")
+                        "shardings over a model axis, pp/dp_pp pipeline the "
+                        "transformer depth (GPipe) over a pipe axis, hybrid "
+                        "with data parallelism on the remaining devices "
+                        "(parallel/)")
     g.add_argument("--tp-degree", type=int, default=2,
                    help="model-axis size for --parallelism tp/tp_fsdp")
+    g.add_argument("--pp-degree", type=int, default=4,
+                   help="pipe-axis size for --parallelism pp/dp_pp")
     g.add_argument("--checkpoint-frequency", type=int, default=0)
     g.add_argument("--save-final-model", type=_str2bool, default=False)
     g.add_argument("--architecture", type=str, default="simple_vit")

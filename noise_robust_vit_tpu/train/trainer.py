@@ -22,6 +22,7 @@ TPU design (vs the reference's DDP):
 
 from __future__ import annotations
 
+import contextlib
 import signal
 import threading
 import time
@@ -158,8 +159,12 @@ class Trainer:
             return fsdp_param_shardings(
                 self.state, self.mesh, tp_rules=DEFAULT_TP_RULES
             )
+        if mode in ("pp", "dp_pp"):
+            from ..parallel.pp import pp_state_shardings
+
+            return pp_state_shardings(self.state, self.mesh)
         raise ValueError(
-            f"unknown parallelism {mode!r} (dp | fsdp | tp | tp_fsdp)"
+            f"unknown parallelism {mode!r} (dp | fsdp | tp | tp_fsdp | pp | dp_pp)"
         )
 
     def _with_mesh_ctx(self, jitted):
@@ -171,9 +176,16 @@ class Trainer:
         if self._parallelism == "dp":
             return jitted
         mesh = self.mesh
+        # pp runs the blocks inside shard_map (manual mesh axes), where
+        # with_sharding_constraint is invalid — mesh context only there
+        tp_ctx = (
+            tp_shardings_active
+            if self._parallelism not in ("pp", "dp_pp")
+            else contextlib.nullcontext
+        )
 
         def call(*a, **k):
-            with mesh, tp_shardings_active(mesh):
+            with mesh, tp_ctx(mesh):
                 return jitted(*a, **k)
 
         return call
@@ -276,11 +288,30 @@ class Trainer:
                         f"tp_degree {tp_deg} does not divide {n} devices"
                     )
                 self.mesh = make_mesh((n // tp_deg, tp_deg), ("data", "model"))
+            elif mode in ("pp", "dp_pp"):
+                pp_deg = int(getattr(self.args, "pp_degree", 4) or 4)
+                n = len(jax.devices())
+                if n % pp_deg:
+                    raise ValueError(
+                        f"pp_degree {pp_deg} does not divide {n} devices"
+                    )
+                self.mesh = make_mesh((n // pp_deg, pp_deg), ("data", "pipe"))
             else:
                 self.mesh = local_mesh()
         self.train_loader = self.initialize_train_loader()
         self.val_loader = self.initialize_val_loader()
         self.initialize_modules()
+        if mode in ("pp", "dp_pp"):
+            # GPipe over the transformer depth — wrap AFTER the subclass
+            # built its model so classification.py etc. stay unchanged
+            from ..parallel.pp import PipelinedModel
+
+            if "pipe" not in self.mesh.axis_names:
+                raise ValueError(
+                    f"--parallelism {mode} needs a mesh with a 'pipe' axis; "
+                    f"got {self.mesh.axis_names}"
+                )
+            self.model = PipelinedModel(self.model, self.mesh)
         steps_per_epoch = len(self.train_loader)
         total_steps = steps_per_epoch * self.args.epochs
         self.tx = self.initialize_optimizer(total_steps)

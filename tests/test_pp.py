@@ -108,3 +108,83 @@ def test_bad_microbatch_count():
     with pytest.raises(ValueError, match="not divisible"):
         pipeline_forward(stacked, x, mesh=mesh, block_apply=block_apply,
                          microbatches=3)
+
+
+class TestGeneralizedStacking:
+    """stack_layer_params auto-detects any indexed key family (round-3
+    verdict #4: the old version hardcoded layers_{i}_attn/ff naming)."""
+
+    def test_torchvision_style_naming(self):
+        params = {
+            **{f"encoder_layer_{i}": {"w": jnp.ones((3,)) * i} for i in range(4)},
+            "ln": {"scale": jnp.ones((3,))},
+        }
+        stacked, rest = stack_layer_params(params)
+        assert set(stacked) == {"encoder_layer_0"}
+        assert stacked["encoder_layer_0"]["w"].shape == (4, 3)
+        np.testing.assert_array_equal(
+            np.asarray(stacked["encoder_layer_0"]["w"][:, 0]), [0, 1, 2, 3]
+        )
+        assert set(rest) == {"ln"}
+
+    def test_heterogeneous_family_stays_unstacked(self):
+        # hierarchical stages with different widths can't stack: they land
+        # in rest untouched (and a uniform sibling family still stacks)
+        params = {
+            "stage_0": {"w": jnp.ones((2, 4))},
+            "stage_1": {"w": jnp.ones((4, 8))},
+            "layers_0_attn": {"w": jnp.ones((3,))},
+            "layers_1_attn": {"w": jnp.ones((3,))},
+        }
+        stacked, rest = stack_layer_params(params)
+        assert set(stacked) == {"layers_0_attn"}
+        assert set(rest) == {"stage_0", "stage_1"}
+
+    def test_no_family_raises(self):
+        with pytest.raises(ValueError, match="no homogeneous"):
+            stack_layer_params({"norm": {"scale": jnp.ones((3,))}})
+
+
+class TestPipelinedModel:
+    """The --parallelism pp adapter: init restacks, apply runs the GPipe
+    schedule via interception, forward matches the plain model."""
+
+    def _model(self, depth=4):
+        from noise_robust_vit_tpu.models import SimpleViT
+
+        return SimpleViT(image_size=16, patch_size=8, num_classes=8, dim=32,
+                         depth=depth, heads=2, mlp_dim=64, robust=True)
+
+    def test_forward_parity_with_plain_model(self):
+        from noise_robust_vit_tpu.parallel.pp import (
+            PIPELINE_KEY, PipelinedModel, pp_state_shardings,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "pipe"))
+        model = self._model()
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+        want = model.apply(model.init(rng, x), x)
+
+        pm = PipelinedModel(model, mesh)
+        variables = pm.init(rng, x)
+        assert PIPELINE_KEY in variables["params"]["transformer"]
+        placed = jax.tree_util.tree_map(
+            jax.device_put, variables,
+            pp_state_shardings(variables, mesh),
+        )
+        got = jax.jit(pm.apply)(placed, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_depth_not_divisible_raises(self):
+        from noise_robust_vit_tpu.parallel.pp import PipelinedModel
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+        model = self._model(depth=3)
+        pm = PipelinedModel(model, mesh, data_axis=None)
+        x = jnp.zeros((4, 16, 16, 3))
+        variables = pm.init(jax.random.PRNGKey(0), x)
+        with pytest.raises(ValueError, match="not divisible by pipe size"):
+            pm.apply(variables, x)

@@ -412,3 +412,59 @@ class TestParallelismModes:
             got = [r["loss"] for r in self._run(tmp_path, mode)
                    .logger.read("train_log")]
             np.testing.assert_allclose(got, want, rtol=2e-4, err_msg=mode)
+
+
+class TestPipelineParallelMode:
+    """--parallelism pp: classification.py trains unchanged on a
+    (data=2, pipe=4) mesh — the transformer depth GPipe-pipelined via
+    parallel/pp.py::PipelinedModel, stacked params+moments sharded over
+    'pipe', loss parity with DP (round-3 verdict #4: the same bar tp/fsdp
+    meet)."""
+
+    ARCH = "pp_mode_vit"
+
+    def _register(self):
+        from noise_robust_vit_tpu.models.factory import _REGISTRY, register_model
+        from noise_robust_vit_tpu.models import SimpleViT
+
+        if self.ARCH not in _REGISTRY:
+            @register_model(self.ARCH)
+            def _m(num_classes, image_size, robust, dtype, **kw):
+                # depth 4 = one layer per pipe stage on the test mesh
+                return SimpleViT(
+                    image_size=image_size, patch_size=8,
+                    num_classes=num_classes, dim=64, depth=4, heads=2,
+                    mlp_dim=128, robust=robust, dtype=dtype,
+                )
+
+    def _run(self, tmp_path, mode, **kw):
+        from classification import Model
+
+        self._register()
+        kw = dict(dict(epochs=1, eval_each_epoch=False), **kw)
+        args = _args(tmp_path / mode, architecture=self.ARCH,
+                     parallelism=mode, tp_degree=2, pp_degree=4, **kw)
+        m = Model(args)
+        m()
+        return m
+
+    def test_pp_matches_dp_losses_and_shards_over_pipe(self, tmp_path):
+        dp = self._run(tmp_path, "dp")
+        want = [r["loss"] for r in dp.logger.read("train_log")]
+        pp = self._run(tmp_path, "pp")
+        got = [r["loss"] for r in pp.logger.read("train_log")]
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+        assert pp.mesh.shape == {"data": 2, "pipe": 4}
+        stacked = pp.state.params["transformer"]["pipeline_blocks"]
+        leaf = jax.tree_util.tree_leaves(stacked)[0]
+        assert leaf.shape[0] == 4  # leading layer axis
+        assert tuple(leaf.sharding.spec) == ("pipe",)
+        # optimizer moments mirror the param paths → sharded over pipe too
+        moment_specs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x: str(x.sharding.spec), pp.state.opt_state))
+        assert any("pipe" in s for s in moment_specs)
+
+    def test_pp_eval_runs(self, tmp_path):
+        m = self._run(tmp_path, "dp_pp", eval_each_epoch=True)
+        evals = m.logger.read("eval_accuracies")
+        assert evals and np.isfinite(evals[-1]["accus"])
