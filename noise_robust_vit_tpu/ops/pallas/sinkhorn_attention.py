@@ -289,6 +289,17 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
     return out
 
 
+def _chain_v2() -> bool:
+    """Round-4 relayout experiment (VERDICT-r3 #3): keep the a-vectors as a
+    batched column stack (ONE [Ka,N]→[N,Ka] transpose instead of a
+    row→col relayout per chain step) and the dr rank-1 factors as a column
+    stack applied through a second MXU matmul (no per-step col→row
+    relayout). Static at trace time."""
+    import os
+
+    return bool(os.environ.get("NRV_CHAIN_V2"))
+
+
 def _restore_vec_rows(attn, vecs, *, iters, final_row, recip):
     """Scaling vectors for the reverse chain: restored from the forward
     residual stack when available (saves the full replay — ~4 N×N mul-reduce
@@ -298,11 +309,14 @@ def _restore_vec_rows(attn, vecs, *, iters, final_row, recip):
     slices of the residual stack, no relayout:
     as_r = [a_0 .. a_{T-1} (, a_fin)], bs_r = [1, b_1 .. b_T].
 
-    Returns ``(as_r, bs_r, nb2_rows)`` where nb2_rows[t] = −b_{t+1}²
-    (precomputed for every chain step, batched over the stack in ONE pass).
+    Returns ``(as_r, bs_r, nb2_rows, a_cols)`` where nb2_rows[t] = −b_{t+1}²
+    (precomputed for every chain step, batched over the stack in ONE pass)
+    and ``a_cols`` (chain-v2 only, else None) holds the COLUMN [K, N, 1]
+    forms of ``as_r`` from one batched transpose of the a-stack.
     """
     kb, n_pad = attn.shape[0], attn.shape[-1]
     ones_row = jnp.ones((kb, 1, n_pad), jnp.float32)
+    a_cols = None
     if vecs is not None:
         ka = max(iters - 1, 0) + int(final_row)
         as_r = [ones_row] + [vecs[:, j][:, None, :] for j in range(ka)]
@@ -310,26 +324,38 @@ def _restore_vec_rows(attn, vecs, *, iters, final_row, recip):
                              for j in range(iters)]
         nb2 = -(vecs[:, ka:ka + iters] * vecs[:, ka:ka + iters])
         nb2_rows = [nb2[:, j][:, None, :] for j in range(iters)]
+        if _chain_v2():
+            # ONE batched lane↔sublane transpose of the whole a-stack; each
+            # column form is then a free lane slice
+            at = jnp.swapaxes(vecs[:, :ka], 1, 2)  # [K, N, Ka]
+            a_cols = [jnp.ones((kb, n_pad, 1), jnp.float32)] + [
+                at[:, :, j:j + 1] for j in range(ka)
+            ]
     else:
         bs_r = [ones_row]
         as_r = [ones_row]
         a_col = jnp.ones((kb, n_pad, 1), jnp.float32)
+        a_cols_l = [a_col]
         for i in range(iters):
             if i > 0:
                 a_col = recip(jnp.sum(attn * bs_r[-1],
                                       axis=-1, keepdims=True))
                 as_r.append(a_col.reshape(kb, 1, n_pad))
+                a_cols_l.append(a_col)
             bs_r.append(recip(jnp.sum(attn * a_col, axis=-2,
                                       keepdims=True)))
         if final_row:
-            as_r.append(recip(jnp.sum(attn * bs_r[-1], axis=-1,
-                                      keepdims=True)).reshape(kb, 1, n_pad))
+            a_col = recip(jnp.sum(attn * bs_r[-1], axis=-1, keepdims=True))
+            as_r.append(a_col.reshape(kb, 1, n_pad))
+            a_cols_l.append(a_col)
         nb2_rows = [-(b * b) for b in bs_r[1:]]
-    return as_r, bs_r, nb2_rows
+        if _chain_v2():
+            a_cols = a_cols_l  # the replay computes columns natively
+    return as_r, bs_r, nb2_rows, a_cols
 
 
 def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
-                         nb2_rows, iters, final_row):
+                         nb2_rows, iters, final_row, a_cols=None):
     """Reverse the Sinkhorn iteration — the LEAN chain (round-3 ablation: the
     old form's tiny-vector ops were a latency-bound serial string costing
     ~35 ms/step; this one runs the same math with precomputed −b² rows,
@@ -351,18 +377,26 @@ def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
     either the matvec already computed for the chain rule or 1/a_t (the
     raw rowsum that produced a_t = recip(A·b_{t-1})).
     """
-    a_fin = as_r[-1].reshape(attn.shape[0], attn.shape[1], 1)
+    v2 = a_cols is not None
+    a_fin = a_cols[-1] if v2 else as_r[-1].reshape(
+        attn.shape[0], attn.shape[1], 1)
     terms = []  # (u, v) [K,1,N] ROW pairs: dA += Σ uᵀ·v (lane↔sublane
     # relayouts are the expensive primitive in this loop — rows are free
     # slices of the residual stack, and the rank-1 stack concatenates along
     # SUBLANES instead of single-lane writes)
+    col_terms = []  # chain-v2: (u_col [K,N,1], v_row [K,1,N]) pairs —
+    # dr stays a COLUMN (no per-step col→row relayout); applied as a second
+    # MXU matmul contracting the lane-stacked factor dim
     svec = None  # Σ_k u_k ⊙ (A·v_k), col [K,N,1]
     da_live = not final_row  # direct da joins the chain at its first node
     if final_row:
         # a* = recip(A b_T); A·b_T = 1/a_fin by construction
         tmp = da * a_fin
         dr = -(tmp * a_fin)
-        terms.append((dr.reshape(db_row.shape), bs_r[-1]))
+        if v2:
+            col_terms.append((dr, bs_r[-1]))
+        else:
+            terms.append((dr.reshape(db_row.shape), bs_r[-1]))
         svec = -tmp  # dr / a_fin
         db_row = db_row + jnp.sum(attn * dr, axis=-2, keepdims=True)
     for t in range(iters - 1, -1, -1):
@@ -375,14 +409,17 @@ def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
             # gradient is discarded exactly
             svec = m_dc if svec is None else svec + m_dc
             break
-        a_t_c = as_r[t].reshape(a_fin.shape)
+        a_t_c = a_cols[t] if v2 else as_r[t].reshape(a_fin.shape)
         contrib = a_t_c * m_dc
         svec = contrib if svec is None else svec + contrib
         da_eff = (da + m_dc) if (da_live and t == iters - 1) else m_dc
         tmp = da_eff * a_t_c               # = da·a_t
         svec = svec - tmp                  # dr / a_t = −da·a_t
         dr = -(tmp * a_t_c)                # [K,N,1] col
-        terms.append((dr.reshape(db_row.shape), bs_r[t]))
+        if v2:
+            col_terms.append((dr, bs_r[t]))
+        else:
+            terms.append((dr.reshape(db_row.shape), bs_r[t]))
         db_row = jnp.sum(attn * dr, axis=-2, keepdims=True)  # Aᵀ·dr
 
     row_term = row_direct + svec
@@ -392,11 +429,20 @@ def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
     # layout it wins: robust step 334.6 → 329.6 ms (765 → 777 img/s).
     u_mat = jnp.concatenate([u for u, _ in terms], axis=1)  # [K, T, N]
     v_mat = jnp.concatenate([vv for _, vv in terms], axis=1)  # [K, T, N]
-    return (dA - row_term) + jax.lax.dot_general(
+    out = (dA - row_term) + jax.lax.dot_general(
         u_mat, v_mat,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if col_terms:
+        uc = jnp.concatenate([u for u, _ in col_terms], axis=2)  # [K,N,Tc]
+        vc = jnp.concatenate([vv for _, vv in col_terms], axis=1)  # [K,Tc,N]
+        out = out + jax.lax.dot_general(
+            uc, vc,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    return out
 
 
 def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
@@ -491,10 +537,11 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
         safe = jnp.where(x == 0.0, 1.0, jnp.maximum(x, 1e-8))
         return jnp.where(x == 0.0, 1.0, 1.0 / safe)
 
-    as_r, bs_r, nb2_rows = _restore_vec_rows(
+    as_r, bs_r, nb2_rows, a_cols = _restore_vec_rows(
         attn, vecs, iters=iters, final_row=final_row, recip=_recip
     )
-    a_fin = as_r[-1].reshape(kb, n_pad, 1)
+    a_fin = a_cols[-1] if a_cols is not None else as_r[-1].reshape(
+        kb, n_pad, 1)
     b_fin = bs_r[-1].reshape(kb, n_pad, 1)
 
     bv = b_fin * vf
@@ -525,7 +572,7 @@ def _bwd_math_batched(q, k, v, g, *, scale, n, robust, iters, final_row,
     inner = _reverse_chain_inner(
         attn, dA, da, db.reshape(kb, 1, n_pad), row_direct,
         as_r=as_r, bs_r=bs_r, nb2_rows=nb2_rows,
-        iters=iters, final_row=final_row,
+        iters=iters, final_row=final_row, a_cols=a_cols,
     )
     ds = attn * inner
     dq = scale * jax.lax.dot_general(

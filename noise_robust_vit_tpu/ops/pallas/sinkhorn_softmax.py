@@ -121,13 +121,17 @@ def _norm_fwd_math(s, *, n, iters, final_row, want_vecs):
     return out
 
 
-def _norm_bwd_math(s, g, vecs, *, n, iters, final_row):
+def _norm_bwd_math(s, g, vecs, *, n, iters, final_row, want_out=False):
     """ds from the upstream gradient ``g`` on the normalized matrix.
 
     out = diag(a)·A·diag(b) with A = softmax(s); the direct contributions
     are dA = a⊙g⊙bᵀ, da = (A⊙g)·b, db = (A⊙g)ᵀ·a, and the softmax-vjp row
     term of the direct dA comes free: rowsum(dA⊙A) = a ⊙ da. The Sinkhorn
-    chain is then reversed by the shared lean chain."""
+    chain is then reversed by the shared lean chain.
+
+    ``want_out=True`` additionally returns the rebuilt normalized matrix
+    a⊙A⊙b (one extra elementwise pass — the talking-heads kernel needs the
+    pre-post-mix weights for the post-mix parameter gradient)."""
     kb, p, _ = s.shape
     needs_mask = n != p
     lse = vecs[:, vecs.shape[1] - 1][:, :, None]
@@ -138,11 +142,11 @@ def _norm_bwd_math(s, g, vecs, *, n, iters, final_row):
         attn = jnp.where(mask2, jnp.exp(s - lse), 0.0)
     else:
         attn = jnp.exp(s - lse)
-    as_r, bs_r, nb2_rows = _restore_vec_rows(
+    as_r, bs_r, nb2_rows, a_cols = _restore_vec_rows(
         attn, vecs, iters=iters, final_row=final_row,
         recip=_recip_fn(needs_mask),
     )
-    a_fin = as_r[-1].reshape(kb, p, 1)
+    a_fin = a_cols[-1] if a_cols is not None else as_r[-1].reshape(kb, p, 1)
     b_fin = bs_r[-1]  # row [K, 1, p]
     gf = g.astype(jnp.float32)
     pm = attn * gf
@@ -153,9 +157,12 @@ def _norm_bwd_math(s, g, vecs, *, n, iters, final_row):
     inner = _reverse_chain_inner(
         attn, dA, da, db_row, row_direct,
         as_r=as_r, bs_r=bs_r, nb2_rows=nb2_rows,
-        iters=iters, final_row=final_row,
+        iters=iters, final_row=final_row, a_cols=a_cols,
     )
-    return attn * inner
+    ds = attn * inner
+    if want_out:
+        return ds, a_fin * attn * b_fin
+    return ds
 
 
 def _fwd_kernel(s_ref, *out_refs, n, p, iters, final_row, want_vecs,
