@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax, gelu
+from ..ops import gelu, robust_softmax, talking_heads_robust_softmax
 from ..utils import pair
 
 __all__ = ["CaiT"]
@@ -53,10 +53,23 @@ class _TalkingHeadsAttention(nn.Module):
         dots = jnp.einsum(
             "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
         ) * (dh**-0.5)
-        dots = jnp.einsum("bhij,hg->bgij", dots, mix_pre.astype(dots.dtype))
-        attn = robust_softmax(dots, robust=self.robust)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        attn = jnp.einsum("bhij,hg->bgij", attn, mix_post.astype(attn.dtype))
+        if self.dropout == 0.0 or deterministic:
+            # fused sandwich (pre-mix → sinkhorn → post-mix in one kernel
+            # residency on the robust square path; identical unfused math
+            # otherwise) — only valid with no dropout BETWEEN the
+            # normalization and the post-mix
+            attn = talking_heads_robust_softmax(
+                dots, mix_pre, mix_post, robust=self.robust
+            )
+        else:
+            dots = jnp.einsum(
+                "bhij,hg->bgij", dots, mix_pre.astype(dots.dtype)
+            )
+            attn = robust_softmax(dots, robust=self.robust)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            attn = jnp.einsum(
+                "bhij,hg->bgij", attn, mix_post.astype(attn.dtype)
+            )
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

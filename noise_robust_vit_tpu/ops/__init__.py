@@ -21,7 +21,12 @@ from .posemb import (
     resize_posemb_grid,
 )
 from .regularizers import cutmix, drop_path, patch_dropout_indices, rand_bbox
-from .sinkhorn import robust_softmax, sinkhorn_attention, sinkhorn_normalize
+from .sinkhorn import (
+    robust_softmax,
+    sinkhorn_attention,
+    sinkhorn_normalize,
+    talking_heads_robust_softmax,
+)
 
 __all__ = [
     "gelu",
@@ -43,5 +48,6 @@ __all__ = [
     "rand_bbox",
     "robust_softmax",
     "sinkhorn_attention",
+    "talking_heads_robust_softmax",
     "sinkhorn_normalize",
 ]

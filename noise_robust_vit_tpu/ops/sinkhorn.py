@@ -168,6 +168,45 @@ def sinkhorn_attention(
     return attn.astype(dtype)
 
 
+def talking_heads_robust_softmax(
+    dots: jax.Array,
+    mix_pre: jax.Array,
+    mix_post: jax.Array,
+    robust: bool = False,
+) -> jax.Array:
+    """CaiT's talking-heads sandwich (ref cait.py:110-119): pre-softmax head
+    mix → (softmax | Sinkhorn) → post-softmax head mix, on ``dots
+    [B, H, N, N]`` with ``mix_* [H, H]``.
+
+    The robust square case takes the fused Pallas kernel
+    (`ops/pallas/talking_heads.py`): the two H-contraction mixes are pure
+    HBM bandwidth either side of the normalization kernel's boundary, and
+    fusing the whole sandwich into one VMEM residency removes ~12 of the
+    ~17 per-layer N² HBM passes. Callers with attention dropout BETWEEN the
+    normalization and the post-mix must use the unfused path (the fused
+    kernel has no dropout point)."""
+    import os
+
+    if robust and not os.environ.get("NRV_NO_TALKING_HEADS"):
+        from .attention import pallas_dispatch
+
+        if pallas_dispatch(True, dots.shape[-1]):
+            from .pallas.talking_heads import (
+                talking_heads_sinkhorn,
+                talking_heads_supported,
+            )
+
+            if talking_heads_supported(dots.shape, 3):
+                interpret = jax.default_backend() != "tpu"
+                return talking_heads_sinkhorn(
+                    dots, mix_pre.astype(dots.dtype),
+                    mix_post.astype(dots.dtype), 3, True, interpret,
+                )
+    dots = jnp.einsum("bhij,hg->bgij", dots, mix_pre.astype(dots.dtype))
+    attn = robust_softmax(dots, robust=robust)
+    return jnp.einsum("bhij,hg->bgij", attn, mix_post.astype(attn.dtype))
+
+
 def robust_softmax(logits: jax.Array, robust: bool = False, axis: int = -1) -> jax.Array:
     """Plain softmax, or the Sinkhorn-normalized variant when ``robust``.
 
