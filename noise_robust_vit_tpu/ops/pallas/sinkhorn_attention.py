@@ -270,11 +270,30 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
                 a_scale = a * inv_r
             b = _recip(jnp.sum(e * a_scale, axis=-2, keepdims=True))
             b_rows.append(b)
+        b_col = b.reshape(kb, n_pad, 1)
+        if final_row and _fold_final_a():
+            # rowsum(e·b) rides the output GEMM as an appended column of the
+            # v-operand (free: D=64 already lane-pads to 128) — the final
+            # a-pass's N² VPU read of e disappears
+            dvd = vf.shape[-1]
+            ext = jnp.concatenate([vf * b_col, b_col], axis=2)
+            out_ext = jax.lax.dot_general(
+                e, ext,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            a = _recip(out_ext[:, :, dvd:dvd + 1] * inv_r)
+            a_rows.append(a.reshape(kb, 1, n_pad))
+            out = out_ext[:, :, :dvd] * (a * inv_r)
+            if want_vecs:
+                rows = a_rows + b_rows
+                return out, jnp.concatenate(rows + [lse_row], axis=1)
+            return out
         if final_row:
             a = _recip(jnp.sum(e * b, axis=-1, keepdims=True) * inv_r)
             a_rows.append(a.reshape(kb, 1, n_pad))
             a_scale = a * inv_r
-        vf = vf * b.reshape(kb, n_pad, 1)
+        vf = vf * b_col
 
     out = jax.lax.dot_general(
         e, vf,
@@ -287,6 +306,18 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
         rows = (a_rows + b_rows) if robust else []
         return out, jnp.concatenate(rows + [lse_row], axis=1)
     return out
+
+
+def _fold_final_a() -> bool:
+    """Round-4 experiment (VERDICT-r3 #3): compute the FINAL row-scaling's
+    matvec rowsum(e·b) as an appended ones-weighted column of the output
+    GEMM's v-operand — the MXU already pads the D=64 lane dim to 128, so the
+    extra column is free and one of the chain's N² VPU passes disappears.
+    Only the (·, final_row=True) schedules have this pass. Static at trace
+    time."""
+    import os
+
+    return bool(os.environ.get("NRV_FOLD_FINAL_A"))
 
 
 def _chain_v2() -> bool:
