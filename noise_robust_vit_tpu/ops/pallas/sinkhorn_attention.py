@@ -427,7 +427,9 @@ def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
         if v2:
             col_terms.append((dr, bs_r[-1]))
         else:
-            terms.append((dr.reshape(db_row.shape), bs_r[-1]))
+            # [K,R,1] → [K,1,R] (R = row count; ≠ db_row's lane count for
+            # rectangular callers)
+            terms.append((dr.reshape(dr.shape[0], 1, dr.shape[1]), bs_r[-1]))
         svec = -tmp  # dr / a_fin
         db_row = db_row + jnp.sum(attn * dr, axis=-2, keepdims=True)
     for t in range(iters - 1, -1, -1):
@@ -450,7 +452,7 @@ def _reverse_chain_inner(attn, dA, da, db_row, row_direct, *, as_r, bs_r,
         if v2:
             col_terms.append((dr, bs_r[t]))
         else:
-            terms.append((dr.reshape(db_row.shape), bs_r[t]))
+            terms.append((dr.reshape(dr.shape[0], 1, dr.shape[1]), bs_r[t]))
         db_row = jnp.sum(attn * dr, axis=-2, keepdims=True)  # Aᵀ·dr
 
     row_term = row_direct + svec

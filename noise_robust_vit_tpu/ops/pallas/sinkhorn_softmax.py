@@ -47,7 +47,12 @@ from .sinkhorn_attention import (
     _round_up,
 )
 
-__all__ = ["sinkhorn_softmax", "sinkhorn_softmax_supported"]
+__all__ = [
+    "sinkhorn_softmax",
+    "sinkhorn_softmax_supported",
+    "sinkhorn_softmax_rect",
+    "sinkhorn_softmax_rect_supported",
+]
 
 import os as _os
 
@@ -302,6 +307,261 @@ def _sinkhorn_softmax_bwd(num_iters, final_row_norm, interpret, res, g):
 
 
 sinkhorn_softmax.defvjp(_sinkhorn_softmax_fwd, _sinkhorn_softmax_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular (cross-attention) variant — round 4 (VERDICT-r3 #2b).
+#
+# CvT attends queries [R] against stride-reduced keys [C = R/4]
+# (ref cvt.py:70-102), and Twins' GlobalAttention against k×k-subsampled
+# keys (ref twins_svt.py:122-153) — every robust matrix in those models is
+# RECTANGULAR, so they always paid the XLA vector form. The math is the same
+# scaling-vector chain with a [R]-sized row-scaling stack and a [C]-sized
+# column stack; the first row normalization is still the identity
+# (rowsum(softmax) ≡ 1 holds for any width). Residuals ship as TWO stacks
+# (a-rows + lse at lane width pr, b-rows at lane width pc). The reverse
+# chain is the shared lean chain — its vectors already live in the correct
+# row/column spaces; only the square-only reshape was generalized.
+# ---------------------------------------------------------------------------
+
+
+def _rect_fwd_math(s, *, nr, nc, iters, final_row, want_vecs):
+    """softmax + Sinkhorn chain on padded rectangular logits ``s [K, pr, pc]``
+    (f32; rows < nr and cols < nc live). Returns the normalized matrix and,
+    with ``want_vecs``, the two residual stacks."""
+    kb, pr, pc = s.shape
+    mask_cols = nc != pc
+    mask_rows = nr != pr
+    if mask_cols:
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
+        s = jnp.where(col2[None] < nc, s, -1e9)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    r = jnp.sum(e, axis=-1, keepdims=True)
+    lse_row = (m + jnp.log(r)).reshape(kb, 1, pr) if want_vecs else None
+    inv_r = 1.0 / r
+    if mask_rows:
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0) < nr)[None]
+        inv_r = jnp.where(rowmask, inv_r, 0.0)
+    _recip = _recip_fn(mask_rows or mask_cols)
+    a_rows, b_rows = [], []
+    a_scale = inv_r
+    b = jnp.ones((kb, 1, pc), jnp.float32)
+    for i in range(iters):
+        if i > 0:  # i == 0: rowsum(softmax) ≡ 1 (value and gradient)
+            a = _recip(jnp.sum(e * b, axis=-1, keepdims=True) * inv_r)
+            a_rows.append(a.reshape(kb, 1, pr))
+            a_scale = a * inv_r
+        b = _recip(jnp.sum(e * a_scale, axis=-2, keepdims=True))
+        b_rows.append(b)
+    if final_row:
+        a = _recip(jnp.sum(e * b, axis=-1, keepdims=True) * inv_r)
+        a_rows.append(a.reshape(kb, 1, pr))
+        a_scale = a * inv_r
+    out = e * a_scale * b
+    if want_vecs:
+        return (out, jnp.concatenate(a_rows + [lse_row], axis=1),
+                jnp.concatenate(b_rows, axis=1))
+    return out
+
+
+def _rect_bwd_math(s, g, vecs_a, vecs_b, *, nr, nc, iters, final_row):
+    """ds [K, pr, pc] from the upstream gradient on the normalized matrix."""
+    kb, pr, pc = s.shape
+    ka = max(iters - 1, 0) + int(final_row)
+    lse = vecs_a[:, ka][:, :, None]  # [K, pr, 1]
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
+    mask2 = ((row2 < nr) & (col2 < nc))[None]
+    attn = jnp.where(mask2, jnp.exp(s - lse), 0.0)
+    ones_r = jnp.ones((kb, 1, pr), jnp.float32)
+    ones_c = jnp.ones((kb, 1, pc), jnp.float32)
+    as_r = [ones_r] + [vecs_a[:, j][:, None, :] for j in range(ka)]
+    bs_r = [ones_c] + [vecs_b[:, j][:, None, :] for j in range(iters)]
+    nb2 = -(vecs_b * vecs_b)
+    nb2_rows = [nb2[:, j][:, None, :] for j in range(iters)]
+    a_fin = as_r[-1].reshape(kb, pr, 1)
+    b_fin = bs_r[-1]  # [K, 1, pc]
+    gf = g.astype(jnp.float32)
+    pm = attn * gf
+    da = jnp.sum(pm * b_fin, axis=-1, keepdims=True)       # [K, pr, 1]
+    db_row = jnp.sum(pm * a_fin, axis=-2, keepdims=True)   # [K, 1, pc]
+    dA = (a_fin * gf) * b_fin
+    row_direct = a_fin * da
+    inner = _reverse_chain_inner(
+        attn, dA, da, db_row, row_direct,
+        as_r=as_r, bs_r=bs_r, nb2_rows=nb2_rows,
+        iters=iters, final_row=final_row, a_cols=None,
+    )
+    return attn * inner
+
+
+def _rect_fwd_kernel(s_ref, *out_refs, nr, nc, pr, pc, iters, final_row,
+                     want_vecs):
+    o_ref = out_refs[0]
+    s = s_ref[...].astype(jnp.float32)
+    if (pr, pc) != (nr, nc):
+        s = jnp.pad(s, ((0, 0), (0, pr - nr), (0, pc - nc)))
+    res = _rect_fwd_math(s, nr=nr, nc=nc, iters=iters, final_row=final_row,
+                         want_vecs=want_vecs)
+    if want_vecs:
+        out, va, vb = res
+        out_refs[1][...] = va
+        out_refs[2][...] = vb
+    else:
+        out = res
+    o_ref[...] = out[:, :nr, :nc].astype(o_ref.dtype)
+
+
+def _rect_bwd_kernel(s_ref, g_ref, va_ref, vb_ref, ds_ref, *, nr, nc, pr, pc,
+                     iters, final_row):
+    pad = ((0, 0), (0, pr - nr), (0, pc - nc))
+    s = s_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    if (pr, pc) != (nr, nc):
+        s = jnp.pad(s, pad)
+        g = jnp.pad(g, pad)
+    ds = _rect_bwd_math(s, g, va_ref[...], vb_ref[...],
+                        nr=nr, nc=nc, iters=iters, final_row=final_row)
+    ds_ref[...] = ds[:, :nr, :nc].astype(ds_ref.dtype)
+
+
+def _pick_g_rect(r: int, pr: int, pc: int, bufs: int) -> int:
+    per_item = bufs * pr * pc * 4 + 16 * (pr + pc) * 4
+    for g in (16, 12, 8, 6, 4, 3, 2, 1):
+        if r % g:
+            continue
+        if g * per_item <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "final_row", "interpret", "want_vecs")
+)
+def _rect_fwd_impl(logits, iters, final_row, interpret, want_vecs=False):
+    *batch, nr, nc = logits.shape
+    r = 1
+    for b in batch:
+        r *= b
+    s = logits.reshape(r, nr, nc)
+    pr, pc = _round_up(nr, 8), _round_up(nc, 8)
+    g = _pick_g_rect(r, pr, pc, bufs=4)
+    ka = max(iters - 1, 0) + int(final_row)
+    kernel = functools.partial(
+        _rect_fwd_kernel, nr=nr, nc=nc, pr=pr, pc=pc, iters=iters,
+        final_row=final_row, want_vecs=want_vecs,
+    )
+    spec_s = pl.BlockSpec((g, nr, nc), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = spec_s
+    out_shape = jax.ShapeDtypeStruct((r, nr, nc), logits.dtype)
+    if want_vecs:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((g, ka + 1, pr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, iters, pc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((r, ka + 1, pr), jnp.float32),
+            jax.ShapeDtypeStruct((r, iters, pc), jnp.float32),
+        )
+    res = pl.pallas_call(
+        kernel,
+        grid=(r // g,),
+        in_specs=[spec_s],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=r * pr * pc * (4 + 4 * iters),
+            bytes_accessed=2 * r * nr * nc * logits.dtype.itemsize,
+            transcendentals=r * pr * pc,
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(s)
+    if want_vecs:
+        out, va, vb = res
+        return out.reshape(*batch, nr, nc), va, vb
+    return res.reshape(*batch, nr, nc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "final_row", "interpret")
+)
+def _rect_bwd_impl(logits, g, va, vb, iters, final_row, interpret):
+    *batch, nr, nc = logits.shape
+    r = va.shape[0]
+    s = logits.reshape(r, nr, nc)
+    gm = g.reshape(r, nr, nc)
+    pr, pc = _round_up(nr, 8), _round_up(nc, 8)
+    gb = _pick_g_rect(r, pr, pc, bufs=6)
+    kernel = functools.partial(
+        _rect_bwd_kernel, nr=nr, nc=nc, pr=pr, pc=pc, iters=iters,
+        final_row=final_row,
+    )
+    spec_s = pl.BlockSpec((gb, nr, nc), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_va = pl.BlockSpec((gb, va.shape[1], pr), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_vb = pl.BlockSpec((gb, vb.shape[1], pc), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ds = pl.pallas_call(
+        kernel,
+        grid=(r // gb,),
+        in_specs=[spec_s, spec_s, spec_va, spec_vb],
+        out_specs=spec_s,
+        out_shape=jax.ShapeDtypeStruct((r, nr, nc), logits.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=r * pr * pc * (8 + 4 * iters),
+            bytes_accessed=3 * r * nr * nc * logits.dtype.itemsize,
+            transcendentals=r * pr * pc,
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(s, gm, va, vb)
+    return ds.reshape(*batch, nr, nc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def sinkhorn_softmax_rect(logits, num_iters=3, final_row_norm=True,
+                          interpret=False):
+    """Rectangular ``sinkhorn_normalize(softmax(logits))`` fused in one
+    kernel (ref utils.py:1025-1037 semantics on a [..., R, C] matrix —
+    CvT/Twins cross-shaped attention). Differentiable; math in f32."""
+    return _rect_fwd_impl(logits, num_iters, final_row_norm, interpret,
+                          want_vecs=False)
+
+
+def _rect_vjp_fwd(logits, num_iters, final_row_norm, interpret):
+    out, va, vb = _rect_fwd_impl(logits, num_iters, final_row_norm,
+                                 interpret, want_vecs=True)
+    return out, (logits, va, vb)
+
+
+def _rect_vjp_bwd(num_iters, final_row_norm, interpret, res, g):
+    logits, va, vb = res
+    return (_rect_bwd_impl(logits, g, va, vb, num_iters, final_row_norm,
+                           interpret),)
+
+
+sinkhorn_softmax_rect.defvjp(_rect_vjp_fwd, _rect_vjp_bwd)
+
+
+def sinkhorn_softmax_rect_supported(shape, num_iters: int) -> bool:
+    """Shape gate for the rectangular kernel: the bwd's ~6 pr×pc f32 buffers
+    must fit the VMEM budget at g=1. Square shapes route to the square
+    kernel (one residual stack, larger batching headroom)."""
+    if len(shape) < 2 or num_iters < 1:
+        return False
+    nr, nc = shape[-2], shape[-1]
+    if nr == nc or nr < 2 or nc < 2:
+        return False
+    pr, pc = _round_up(nr, 8), _round_up(nc, 8)
+    return 6 * pr * pc * 4 + 16 * (pr + pc) * 4 <= _VMEM_BUDGET
 
 
 def sinkhorn_softmax_supported(shape, num_iters: int) -> bool:

@@ -155,12 +155,24 @@ def sinkhorn_attention(
         if pallas_dispatch(True, logits.shape[-1]):
             from .pallas.sinkhorn_softmax import (
                 sinkhorn_softmax,
+                sinkhorn_softmax_rect,
+                sinkhorn_softmax_rect_supported,
                 sinkhorn_softmax_supported,
             )
 
             if sinkhorn_softmax_supported(logits.shape, num_iters):
                 interpret = jax.default_backend() != "tpu"
                 return sinkhorn_softmax(
+                    logits, num_iters, final_row_norm, interpret
+                )
+            if not os.environ.get("NRV_NO_SINKHORN_RECT") and (
+                sinkhorn_softmax_rect_supported(logits.shape, num_iters)
+            ):
+                # rectangular cross-attention (CvT's stride-reduced keys,
+                # ref cvt.py:70-102; Twins' subsampled GlobalAttention,
+                # ref twins_svt.py:122-153)
+                interpret = jax.default_backend() != "tpu"
+                return sinkhorn_softmax_rect(
                     logits, num_iters, final_row_norm, interpret
                 )
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=axis)

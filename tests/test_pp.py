@@ -185,6 +185,6 @@ class TestPipelinedModel:
         model = self._model(depth=3)
         pm = PipelinedModel(model, mesh, data_axis=None)
         x = jnp.zeros((4, 16, 16, 3))
-        variables = pm.init(jax.random.PRNGKey(0), x)
-        with pytest.raises(ValueError, match="not divisible by pipe size"):
+        with pytest.raises(ValueError, match="not divisible by the pipe-axis"):
+            variables = pm.init(jax.random.PRNGKey(0), x)
             pm.apply(variables, x)

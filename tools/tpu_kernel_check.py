@@ -1,10 +1,11 @@
 """Real-TPU kernel regression gate (round-3 verdict #5).
 
-Runs ALL FOUR shipping Pallas kernels — packed-qkv attention
+Runs ALL FIVE shipping Pallas kernels — packed-qkv attention
 (ops/pallas/block_attention.py), biased windowed attention
 (ops/pallas/biased_attention.py), the logits-interface Sinkhorn
 (ops/pallas/sinkhorn_softmax.py), and the fused talking-heads sandwich
-(ops/pallas/talking_heads.py) — forward AND backward ON THE CHIP against
+(ops/pallas/talking_heads.py), and the rectangular logits kernel
+(sinkhorn_softmax_rect) — forward AND backward ON THE CHIP against
 the XLA vector-form reference at the two shipping Sinkhorn schedules:
 (3, True) — the SinkhornAttention op (ref utils.py:1031-1037) — and
 (4, False) — the vendored-MHA path of vit_b_16(robust=True)
@@ -282,13 +283,61 @@ def check_talking_heads(interpret: bool):
             jax.device_get(run(dots, pre, post, tang)))
 
 
+def check_rect(interpret: bool):
+    """Rectangular logits-interface kernel (CvT stride-reduced / Twins
+    subsampled cross-attention, ref cvt.py:70-102, twins_svt.py:122-153) at
+    CvT's stage-2 geometry [B·H, 784, 196] plus the transposed orientation;
+    both schedules, fwd + ds, one compiled program."""
+    from noise_robust_vit_tpu.ops.sinkhorn import sinkhorn_normalize
+    from noise_robust_vit_tpu.ops.pallas.sinkhorn_softmax import (
+        sinkhorn_softmax_rect,
+        sinkhorn_softmax_rect_supported,
+    )
+
+    shapes = [(2, 2, 25, 10), (2, 10, 25)] if interpret else [
+        (2, 3, 784, 196), (4, 196, 784)]
+
+    def reference(s, iters, final_row):
+        attn = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        return sinkhorn_normalize(attn, num_iters=iters,
+                                  final_row_norm=final_row)
+
+    for shape in shapes:
+        @jax.jit
+        def run(s, tang):
+            errs = {}
+            for iters, final_row in SCHEDULES:
+                assert sinkhorn_softmax_rect_supported(shape, iters)
+                tag = f"sched=({iters},{int(final_row)})"
+
+                def kfn(x):
+                    return sinkhorn_softmax_rect(x, iters, final_row,
+                                                 interpret)
+
+                def rfn(x):
+                    return reference(x, iters, final_row)
+
+                ok_, vjp_k = jax.vjp(kfn, s)
+                or_, vjp_r = jax.vjp(rfn, s)
+                errs[f"{tag} fwd"] = _err(ok_, or_, FWD_ATOL, FWD_RTOL)
+                errs[f"{tag} bwd"] = _err(vjp_k(tang)[0], vjp_r(tang)[0],
+                                          BWD_ATOL, BWD_RTOL)
+            return errs
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 2)
+        s = jax.random.normal(keys[0], shape, jnp.float32) * 2.0
+        tang = jax.random.normal(keys[1], shape, jnp.float32)
+        _report(f"rect {shape}", jax.device_get(run(s, tang)))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode dry run (script validation "
                     "only — the point of this gate is the real chip)")
     ap.add_argument("--only",
-                    choices=("packed", "biased", "sinkhorn", "talking"),
+                    choices=("packed", "biased", "sinkhorn", "talking",
+                             "rect"),
                     help="run a single kernel's check")
     args = ap.parse_args()
 
@@ -302,7 +351,7 @@ def main():
 
     checks = {"packed": check_packed, "biased": check_biased,
               "sinkhorn": check_sinkhorn_softmax,
-              "talking": check_talking_heads}
+              "talking": check_talking_heads, "rect": check_rect}
     if args.only:
         checks = {args.only: checks[args.only]}
     t0 = time.perf_counter()
