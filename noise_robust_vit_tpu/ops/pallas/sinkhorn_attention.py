@@ -276,13 +276,28 @@ def _fwd_math_batched(q, k, v, *, scale, n, robust, iters, final_row,
             # v-operand (free: D=64 already lane-pads to 128) — the final
             # a-pass's N² VPU read of e disappears
             dvd = vf.shape[-1]
-            ext = jnp.concatenate([vf * b_col, b_col], axis=2)
+            # pad the appended operand to a full 128-lane tile so the result
+            # is lane-aligned for the roll below (same physical VMEM/MXU cost
+            # — the 65-wide operand pads to 128 anyway)
+            lane_pad = (-(dvd + 1)) % 128
+            ext = jnp.concatenate(
+                [vf * b_col, b_col]
+                + ([jnp.zeros((kb, n_pad, lane_pad), jnp.float32)]
+                   if lane_pad else []),
+                axis=2,
+            )
             out_ext = jax.lax.dot_general(
                 e, ext,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            a = _recip(out_ext[:, :, dvd:dvd + 1] * inv_r)
+            # the rowsum column sits at lane offset dvd (=64) of the padded
+            # GEMM result; Mosaic's concatenate cannot relayout a nonzero
+            # lane offset ("result/input offset mismatch", real-TPU only —
+            # interpret mode passed), so rotate it to lane 0 first
+            width = dvd + 1 + lane_pad
+            rowsum = pltpu.roll(out_ext, width - dvd, 2)[:, :, 0:1]
+            a = _recip(rowsum * inv_r)
             a_rows.append(a.reshape(kb, 1, n_pad))
             out = out_ext[:, :, :dvd] * (a * inv_r)
             if want_vecs:
