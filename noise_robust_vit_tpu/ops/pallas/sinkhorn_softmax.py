@@ -426,12 +426,30 @@ def _rect_bwd_kernel(s_ref, g_ref, va_ref, vb_ref, ds_ref, *, nr, nc, pr, pc,
     ds_ref[...] = ds[:, :nr, :nc].astype(ds_ref.dtype)
 
 
+def _rect_per_item_bytes(pr: int, pc: int, bufs: int) -> int:
+    """Physical scoped-VMEM bytes one batched chain item costs: the lane
+    (minor) dim pads to a full 128-lane tile, and Mosaic holds ~2× the
+    logical buffer count live across the chain (calibrated on a real-TPU
+    compile of the Twins s2 shape [g=16, 784, 16]: 75.13M scoped = 11.7
+    physical 784×128 f32 buffers against the logical bufs=6 model — the
+    un-padded model under-counted 8× and OOMed the 40M limit)."""
+    pcp = _round_up(pc, 128)
+    return 2 * bufs * pr * pcp * 4 + 16 * (pr + pcp) * 4
+
+
 def _pick_g_rect(r: int, pr: int, pc: int, bufs: int) -> int:
-    per_item = bufs * pr * pc * 4 + 16 * (pr + pc) * 4
+    """Largest divisor of ``r`` meeting BOTH bounds: the logical per-item
+    model under the throughput-tuned budget (as the square kernel), and the
+    physical lane-padded footprint under the Mosaic scoped hard limit
+    (compile safety — see _rect_per_item_bytes)."""
+    logical = bufs * pr * pc * 4 + 16 * (pr + pc) * 4
+    physical = _rect_per_item_bytes(pr, pc, bufs)
+    limit = int(0.9 * int(_os.environ.get(
+        "NRV_KERNEL_VMEM_LIMIT", 40 * 1024 * 1024)))
     for g in (16, 12, 8, 6, 4, 3, 2, 1):
         if r % g:
             continue
-        if g * per_item <= _VMEM_BUDGET:
+        if g * logical <= _VMEM_BUDGET and g * physical <= limit:
             return g
     return 1
 
@@ -552,16 +570,19 @@ sinkhorn_softmax_rect.defvjp(_rect_vjp_fwd, _rect_vjp_bwd)
 
 
 def sinkhorn_softmax_rect_supported(shape, num_iters: int) -> bool:
-    """Shape gate for the rectangular kernel: the bwd's ~6 pr×pc f32 buffers
-    must fit the VMEM budget at g=1. Square shapes route to the square
-    kernel (one residual stack, larger batching headroom)."""
+    """Shape gate for the rectangular kernel: one g=1 chain item's PHYSICAL
+    scoped-VMEM footprint (lane dim padded to 128, ~12 live buffers in the
+    bwd — see _rect_per_item_bytes) must fit under the Mosaic scoped limit.
+    Square shapes route to the square kernel (one residual stack, larger
+    batching headroom)."""
     if len(shape) < 2 or num_iters < 1:
         return False
     nr, nc = shape[-2], shape[-1]
     if nr == nc or nr < 2 or nc < 2:
         return False
-    pr, pc = _round_up(nr, 8), _round_up(nc, 8)
-    return 6 * pr * pc * 4 + 16 * (pr + pc) * 4 <= _VMEM_BUDGET
+    pr = _round_up(nr, 8)
+    limit = int(_os.environ.get("NRV_KERNEL_VMEM_LIMIT", 40 * 1024 * 1024))
+    return _rect_per_item_bytes(pr, nc, bufs=6) <= int(0.9 * limit)
 
 
 def sinkhorn_softmax_supported(shape, num_iters: int) -> bool:
