@@ -213,3 +213,49 @@ def test_bias_broadcast_over_batch_images():
         np.asarray(jax.grad(loss_ref)(bias)),
         atol=5e-6, rtol=5e-5,
     )
+
+
+def test_twins_local_robust_fused_path_matches_xla():
+    """End-to-end wiring: robust Twins-SVT's LOCAL attention with the fused
+    biased kernel (zero bias) forced on must match the XLA composition —
+    fwd + grads (models/twins_svt.py _LocalAttention fused branch; the XLA
+    path OOMed HBM at bs128 on v5e by materializing [BW,H,49,49] residuals)."""
+    from noise_robust_vit_tpu import ops
+    from noise_robust_vit_tpu.models.twins_svt import TwinsSVT
+
+    m = TwinsSVT(num_classes=5, robust=True,
+                 s1_emb_dim=16, s1_local_patch_size=2, s1_global_k=2,
+                 s2_emb_dim=24, s2_local_patch_size=2, s2_global_k=2,
+                 s3_emb_dim=32, s3_local_patch_size=2, s3_global_k=1,
+                 s3_depth=1,
+                 s4_emb_dim=48, s4_local_patch_size=1, s4_global_k=1,
+                 s4_depth=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(variables, x):
+        return jnp.sum(m.apply(variables, x) ** 2)
+
+    ref_out = m.apply(v, x)
+    ref_grad = jax.grad(loss)(v, x)
+    try:
+        ops.set_use_pallas(True)
+        fused_out = m.apply(v, x)
+        fused_grad = jax.grad(loss)(v, x)
+    finally:
+        ops.set_use_pallas(None)
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(ref_out), atol=1e-5, rtol=1e-4
+    )
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_grad)
+    fused_leaves = jax.tree_util.tree_leaves(fused_grad)
+    # atol 2e-4: measured f32 floor — the sum-of-squares loss makes grads
+    # O(10-30), and the PEG/depthwise-conv grads accumulate near-cancelling
+    # contributions across the whole stage (worst observed: 1.1e-4 abs at
+    # 5e-3 rel on 2/144 elements, pure reduction-order noise; the kernel
+    # bwd itself is checked at 5e-6 in the op-level tests above)
+    for (path, a), b in zip(ref_leaves, fused_leaves):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
