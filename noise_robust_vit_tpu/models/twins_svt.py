@@ -30,11 +30,18 @@ def _mh_attention(q, k, v, heads, dim_head, robust):
     q = q.reshape(b, nq, heads, dim_head).transpose(0, 2, 1, 3)
     k = k.reshape(b, nk, heads, dim_head).transpose(0, 2, 1, 3)
     v = v.reshape(b, nk, heads, dim_head).transpose(0, 2, 1, 3)
-    dots = jnp.einsum(
-        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-    ) * (dim_head**-0.5)
-    attn = robust_softmax(dots, robust=robust)
-    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+    # Stage-1 GlobalAttention is 3136 queries × 64 subsampled keys at
+    # 224px (ref twins_svt.py:122-153): too tall for the resident
+    # logits-interface kernels — the streaming q/k/v kernel recomputes
+    # exp(q·kᵀ−lse) tiles instead of HBM-round-tripping the N×M matrix.
+    if robust and ops.streaming_dispatch(True, b, heads, nq, nk, dim_head):
+        out = ops.streaming_attention(q, k, v, scale=dim_head**-0.5)
+    else:
+        dots = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * (dim_head**-0.5)
+        attn = robust_softmax(dots, robust=robust)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
     return out.transpose(0, 2, 1, 3).reshape(b, nq, heads * dim_head)
 
 
@@ -85,6 +92,7 @@ class _LocalAttention(nn.Module):
                 split_heads(qw), split_heads(kw), split_heads(vw),
                 jnp.zeros((1, self.heads, n, n), jnp.float32),
                 scale=self.dim_head**-0.5, robust=True, num_windows=1,
+                no_bias=True,
             )
             out = out.transpose(0, 2, 1, 3).reshape(bw, n, inner)
         else:

@@ -112,10 +112,13 @@ def biased_dispatch(robust: bool, bw: int, heads: int, n: int, d: int,
 
 
 def biased_attention(q, k, v, bias, *, scale=None, robust=False,
-                     sinkhorn_iters=3, final_row_norm=True, num_windows=1):
+                     sinkhorn_iters=3, final_row_norm=True, num_windows=1,
+                     no_bias=False):
     """Fused attention with an additive per-(window, head) logit bias —
     ``q/k [BW, H, N, D]``, ``v [BW, H, N, DV]``, ``bias [nW, H, N, N]``
-    broadcast over the batch (ref swin.py:186-244, levit.py:225-278)."""
+    broadcast over the batch (ref swin.py:186-244, levit.py:225-278).
+    ``no_bias=True`` declares ``bias`` known-zero so the kernel skips the
+    bias add and the dbias accumulation entirely (Twins local attention)."""
     from .pallas.biased_attention import biased_attention as _impl
 
     if scale is None:
@@ -123,7 +126,47 @@ def biased_attention(q, k, v, bias, *, scale=None, robust=False,
     interpret = jax.default_backend() != "tpu"
     return _impl(q, k, v, bias, float(scale), bool(robust),
                  int(sinkhorn_iters), bool(final_row_norm), int(num_windows),
-                 interpret)
+                 interpret, bool(no_bias))
+
+
+def streaming_dispatch(robust: bool, b: int, heads: int, n: int, m: int,
+                       d: int) -> bool:
+    """Dispatch policy for the STREAMING q/k/v-interface Sinkhorn kernel
+    (`ops/pallas/streaming_sinkhorn.py`) — the giant-N robust regime where
+    the resident logits-interface kernels refuse (N_pad > 640: CvT stage-1's
+    3136×784, ref cvt.py:60-102). The matrix is recomputed per reduction on
+    the MXU instead of round-tripping N² f32 through HBM per Sinkhorn pass.
+    ``NRV_STREAM_ALL=1`` widens the gate to every robust q/k/v shape the
+    kernel fits (A/B probing); ``NRV_NO_STREAMING=1`` opts out."""
+    import os
+
+    if _USE_PALLAS is False or not robust:
+        return False
+    if os.environ.get("NRV_NO_STREAMING"):
+        return False
+    if not (_USE_PALLAS is True or use_pallas_default()):
+        return False
+    from .pallas.sinkhorn_attention import _round_up
+    from .pallas.streaming_sinkhorn import streaming_supported
+
+    giant = max(_round_up(n, 128), _round_up(m, 128)) > 640
+    if not (giant or os.environ.get("NRV_STREAM_ALL")):
+        return False
+    return streaming_supported(b, heads, n, m, d)
+
+
+def streaming_attention(q, k, v, *, scale=None, sinkhorn_iters=3,
+                        final_row_norm=True):
+    """Fused giant-N Sinkhorn attention at the q/k/v interface — never
+    materializes the N×M matrix (``q [B,H,N,D]``, ``k/v [B,H,M,D]``).
+    Semantics = ``robust_softmax(scale·q·kᵀ) @ v`` (ref utils.py:1025-1037)."""
+    from .pallas.streaming_sinkhorn import streaming_attention as _impl
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    interpret = jax.default_backend() != "tpu"
+    return _impl(q, k, v, float(scale), int(sinkhorn_iters),
+                 bool(final_row_norm), interpret)
 
 
 def attention_weights(

@@ -100,8 +100,13 @@ def _pick_groups(bw: int, heads: int, n_pad: int, dmax: int, nw: int,
     return best
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, *out_refs, scale, n, n_pad, robust,
-                iters, final_row, gb, heads, want_vecs, vec_rows):
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, n, n_pad, robust,
+                iters, final_row, gb, heads, want_vecs, vec_rows,
+                has_bias=True):
+    if has_bias:
+        b_ref, *out_refs = rest
+    else:
+        b_ref, out_refs = None, rest
     o_ref = out_refs[0]
     vec_ref = out_refs[1] if want_vecs else None
     kk = gb * heads
@@ -111,7 +116,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, *out_refs, scale, n, n_pad, robust,
     q = jnp.pad(q_ref[...].reshape(kk, n, d), pad)
     k = jnp.pad(k_ref[...].reshape(kk, n, d), pad)
     v = jnp.pad(v_ref[...].reshape(kk, n, dv), pad)
-    bias = b_ref[...].reshape(kk, n_pad, n_pad)
+    bias = b_ref[...].reshape(kk, n_pad, n_pad) if has_bias else None
     res = _fwd_math_batched(
         q, k, v, scale=scale, n=n, robust=robust, iters=iters,
         final_row=final_row, want_vecs=want_vecs, bias=bias,
@@ -125,9 +130,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, *out_refs, scale, n, n_pad, robust,
     o_ref[...] = out[:, :n].reshape(gb, heads, n, dv).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, vec_ref, b_ref,
-                dq_ref, dk_ref, dv_ref, db_ref, *, scale, n, n_pad, robust,
-                iters, final_row, gb, heads, n_vecs):
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, vec_ref, *rest, scale, n, n_pad,
+                robust, iters, final_row, gb, heads, n_vecs, has_bias=True):
+    if has_bias:
+        b_ref = rest[0]
+        dq_ref, dk_ref, dv_ref, db_ref = rest[1:]
+    else:
+        b_ref = db_ref = None
+        dq_ref, dk_ref, dv_ref = rest
     kk = gb * heads
     d = q_ref.shape[-1]
     dv_dim = v_ref.shape[-1]
@@ -137,15 +147,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, vec_ref, b_ref,
     v = jnp.pad(v_ref[...].reshape(kk, n, dv_dim), pad)
     g = jnp.pad(g_ref[...].reshape(kk, n, dv_dim), pad)
     vecs = vec_ref[...].reshape(kk, -1, n_pad)[:, :n_vecs]
-    bias = b_ref[...].reshape(kk, n_pad, n_pad)
-    dq, dk, dv, ds = _bwd_math_batched(
+    bias = b_ref[...].reshape(kk, n_pad, n_pad) if has_bias else None
+    res = _bwd_math_batched(
         q, k, v, g, scale=scale, n=n, robust=robust, iters=iters,
-        final_row=final_row, vecs=vecs, bias=bias, want_ds=True,
+        final_row=final_row, vecs=vecs, bias=bias, want_ds=has_bias,
     )
+    dq, dk, dv = res[:3]
     dq_ref[...] = dq[:, :n].reshape(gb, heads, n, d).astype(dq_ref.dtype)
     dk_ref[...] = dk[:, :n].reshape(gb, heads, n, d).astype(dk_ref.dtype)
     dv_ref[...] = dv[:, :n].reshape(gb, heads, n, dv_dim).astype(dv_ref.dtype)
-    ds_b = ds.reshape(gb, heads, n_pad, n_pad)
+    if not has_bias:
+        return
+    ds_b = res[3].reshape(gb, heads, n_pad, n_pad)
 
     # dbias accumulates over the batch-cycle grid axis (innermost → the
     # output block stays resident in VMEM across revisits)
@@ -174,20 +187,24 @@ def _prep_bias(bias, nw, heads, n, n_pad, gb):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "robust", "iters", "final_row", "nw",
-                     "interpret", "want_vecs"),
+                     "interpret", "want_vecs", "no_bias"),
 )
 def _biased_fwd_impl(q, k, v, bias, scale, robust, iters, final_row, nw,
-                     interpret=False, want_vecs=False):
+                     interpret=False, want_vecs=False, no_bias=False):
     bw, heads, n, d = q.shape
     dv = v.shape[-1]
     n_pad = _pad_n(n)
-    gb = _pick_groups(bw, heads, n_pad, max(d, dv), nw, robust, bwd=False)
-    bias_L, L = _prep_bias(bias, nw, heads, n, n_pad, gb)
+    gb = _pick_groups(bw, heads, n_pad, max(d, dv), 1 if no_bias else nw,
+                      robust, bwd=False)
+    if no_bias:
+        bias_L, L = None, gb  # no bias operand: trivial window cycle
+    else:
+        bias_L, L = _prep_bias(bias, nw, heads, n, n_pad, gb)
     vec_rows = _vec_rows(iters, final_row, robust)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, n_pad=n_pad, robust=robust,
         iters=iters, final_row=final_row, gb=gb, heads=heads,
-        want_vecs=want_vecs, vec_rows=vec_rows,
+        want_vecs=want_vecs, vec_rows=vec_rows, has_bias=not no_bias,
     )
     pos, cycles = L // gb, bw // L
     spec_q = pl.BlockSpec((gb, heads, n, d),
@@ -208,10 +225,12 @@ def _biased_fwd_impl(q, k, v, bias, scale, robust, iters, final_row, nw,
             memory_space=pltpu.VMEM))
         out_shape = (out_shape, jax.ShapeDtypeStruct(
             (bw, heads, vec_rows, n_pad), jnp.float32))
+    in_specs = [spec_q, spec_q, spec_v] + ([] if no_bias else [spec_b])
+    operands = (q, k, v) if no_bias else (q, k, v, bias_L)
     res = pl.pallas_call(
         kernel,
         grid=(pos, cycles),
-        in_specs=[spec_q, spec_q, spec_v, spec_b],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -221,27 +240,31 @@ def _biased_fwd_impl(q, k, v, bias, scale, robust, iters, final_row, nw,
         ),
         interpret=interpret,
         compiler_params=_biased_compiler_params(),
-    )(q, k, v, bias_L)
+    )(*operands)
     return res if want_vecs else (res, None)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "robust", "iters", "final_row", "nw",
-                     "interpret"),
+                     "interpret", "no_bias"),
 )
 def _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust, iters, final_row,
-                     nw, interpret=False):
+                     nw, interpret=False, no_bias=False):
     bw, heads, n, d = q.shape
     dv = v.shape[-1]
     n_pad = _pad_n(n)
-    gb = _pick_groups(bw, heads, n_pad, max(d, dv), nw, robust, bwd=True)
-    bias_L, L = _prep_bias(bias, nw, heads, n, n_pad, gb)
+    gb = _pick_groups(bw, heads, n_pad, max(d, dv), 1 if no_bias else nw,
+                      robust, bwd=True)
+    if no_bias:
+        bias_L, L = None, gb
+    else:
+        bias_L, L = _prep_bias(bias, nw, heads, n, n_pad, gb)
     vec_rows = vecs.shape[2]
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, n_pad=n_pad, robust=robust,
         iters=iters, final_row=final_row, gb=gb, heads=heads,
-        n_vecs=_num_vecs(iters, final_row, robust),
+        n_vecs=_num_vecs(iters, final_row, robust), has_bias=not no_bias,
     )
     pos, cycles = L // gb, bw // L
     spec_q = pl.BlockSpec((gb, heads, n, d),
@@ -256,17 +279,26 @@ def _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust, iters, final_row,
     spec_b = pl.BlockSpec((gb, heads, n_pad, n_pad),
                           lambda p, c: (p, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    dq, dk, dv_out, dbias_L = pl.pallas_call(
+    in_specs = [spec_q, spec_q, spec_v, spec_v, spec_vecs]
+    out_specs = [spec_q, spec_q, spec_v]
+    out_shape = [
+        jax.ShapeDtypeStruct((bw, heads, n, d), q.dtype),
+        jax.ShapeDtypeStruct((bw, heads, n, d), k.dtype),
+        jax.ShapeDtypeStruct((bw, heads, n, dv), v.dtype),
+    ]
+    operands = [q, k, v, g, vecs]
+    if not no_bias:
+        in_specs.append(spec_b)
+        out_specs.append(spec_b)
+        out_shape.append(
+            jax.ShapeDtypeStruct((L, heads, n_pad, n_pad), jnp.float32))
+        operands.append(bias_L)
+    res = pl.pallas_call(
         kernel,
         grid=(pos, cycles),
-        in_specs=[spec_q, spec_q, spec_v, spec_v, spec_vecs, spec_b],
-        out_specs=(spec_q, spec_q, spec_v, spec_b),
-        out_shape=(
-            jax.ShapeDtypeStruct((bw, heads, n, d), q.dtype),
-            jax.ShapeDtypeStruct((bw, heads, n, d), k.dtype),
-            jax.ShapeDtypeStruct((bw, heads, n, dv), v.dtype),
-            jax.ShapeDtypeStruct((L, heads, n_pad, n_pad), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=bw * heads * 6 * n_pad * n_pad * (d + dv),
             bytes_accessed=(q.size * 4 + v.size * 4) * q.dtype.itemsize,
@@ -274,7 +306,13 @@ def _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust, iters, final_row,
         ),
         interpret=interpret,
         compiler_params=_biased_compiler_params(),
-    )(q, k, v, g, vecs, bias_L)
+    )(*operands)
+    dq, dk, dv_out = res[:3]
+    if no_bias:
+        # known-zero bias (e.g. Twins local attention): the kernel never
+        # touched it, so its cotangent is exactly zero — no VPU/HBM spend
+        return dq, dk, dv_out, jnp.zeros(bias.shape, bias.dtype)
+    dbias_L = res[3]
     # fold the tiled window copies back and unpad
     if L != nw:
         dbias_L = dbias_L.reshape(L // nw, nw, heads, n_pad, n_pad).sum(0)
@@ -282,36 +320,43 @@ def _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust, iters, final_row,
     return dq, dk, dv_out, dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def biased_attention(q, k, v, bias, scale, robust=False, sinkhorn_iters=3,
-                     final_row_norm=True, num_windows=1, interpret=False):
+                     final_row_norm=True, num_windows=1, interpret=False,
+                     no_bias=False):
     """Fused attention with an additive per-(window, head) logit bias.
 
     ``q/k [BW, H, N, D]``, ``v [BW, H, N, DV]``, ``bias [nW, H, N, N]``
     (f32, broadcast over the batch — window ``bw % nW`` of each image).
     ``robust=True`` applies softmax + Sinkhorn renormalization
     (ref utils.py:1025-1037, swin.py:239-244). Differentiable in all four
-    tensor arguments."""
+    tensor arguments.
+
+    ``no_bias=True`` (static) declares the bias known-zero: the kernels skip
+    the bias operand, the bias add, the dbias accumulation and the host-side
+    window fold, and the vjp returns exact zeros — the path Twins' local
+    attention uses (it needs the fused kernel for VMEM residency, not for a
+    bias)."""
     out, _ = _biased_fwd_impl(q, k, v, bias, scale, robust, sinkhorn_iters,
                               final_row_norm, num_windows, interpret,
-                              want_vecs=False)
+                              want_vecs=False, no_bias=no_bias)
     return out
 
 
 def _biased_attention_fwd(q, k, v, bias, scale, robust, sinkhorn_iters,
-                          final_row_norm, num_windows, interpret):
+                          final_row_norm, num_windows, interpret, no_bias):
     out, vecs = _biased_fwd_impl(q, k, v, bias, scale, robust, sinkhorn_iters,
                                  final_row_norm, num_windows, interpret,
-                                 want_vecs=True)
+                                 want_vecs=True, no_bias=no_bias)
     return out, (q, k, v, bias, vecs)
 
 
 def _biased_attention_bwd(scale, robust, sinkhorn_iters, final_row_norm,
-                          num_windows, interpret, res, g):
+                          num_windows, interpret, no_bias, res, g):
     q, k, v, bias, vecs = res
     return _biased_bwd_impl(q, k, v, bias, g, vecs, scale, robust,
                             sinkhorn_iters, final_row_norm, num_windows,
-                            interpret)
+                            interpret, no_bias=no_bias)
 
 
 biased_attention.defvjp(_biased_attention_fwd, _biased_attention_bwd)

@@ -238,12 +238,21 @@ def test_twins_local_robust_fused_path_matches_xla():
 
     ref_out = m.apply(v, x)
     ref_grad = jax.grad(loss)(v, x)
+    # Isolate the _LocalAttention fused-biased branch: keep the global-
+    # attention rect/sinkhorn-softmax kernels OFF during the fused run so a
+    # failure here points at the branch under test, not another kernel.
+    import os
+
     try:
         ops.set_use_pallas(True)
+        os.environ["NRV_NO_SINKHORN_SOFTMAX"] = "1"
+        os.environ["NRV_NO_SINKHORN_RECT"] = "1"
         fused_out = m.apply(v, x)
         fused_grad = jax.grad(loss)(v, x)
     finally:
         ops.set_use_pallas(None)
+        os.environ.pop("NRV_NO_SINKHORN_SOFTMAX", None)
+        os.environ.pop("NRV_NO_SINKHORN_RECT", None)
     np.testing.assert_allclose(
         np.asarray(fused_out), np.asarray(ref_out), atol=1e-5, rtol=1e-4
     )
@@ -259,3 +268,35 @@ def test_twins_local_robust_fused_path_matches_xla():
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+@pytest.mark.parametrize("robust", [False, True])
+def test_no_bias_static_path_matches_zero_bias(robust):
+    """`no_bias=True` (the Twins local-attention fast path) must reproduce
+    the zero-bias kernel exactly for fwd and dq/dk/dv, and return an exact
+    zero bias-cotangent without computing dbias (round-5 ADVICE fix)."""
+    bw, h, n, d = 8, 2, 21, 16
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(keys[0], (bw, h, n, d))
+    k = jax.random.normal(keys[1], (bw, h, n, d))
+    v = jax.random.normal(keys[2], (bw, h, n, d))
+    bias = jnp.zeros((1, h, n, n), jnp.float32)
+    tang = jax.random.normal(keys[3], (bw, h, n, d))
+
+    def loss(fn_no_bias, q, k, v, bias):
+        return jnp.sum(
+            biased_attention(q, k, v, bias, d**-0.5, robust, 3, True, 1,
+                             True, fn_no_bias) * tang
+        )
+
+    o_ref = biased_attention(q, k, v, bias, d**-0.5, robust, 3, True, 1,
+                             True, False)
+    o_nb = biased_attention(q, k, v, bias, d**-0.5, robust, 3, True, 1,
+                            True, True)
+    np.testing.assert_allclose(np.asarray(o_nb), np.asarray(o_ref), atol=0)
+    g_ref = jax.grad(loss, argnums=(1, 2, 3, 4))(False, q, k, v, bias)
+    g_nb = jax.grad(loss, argnums=(1, 2, 3, 4))(True, q, k, v, bias)
+    for name, a, b in zip("qkv", g_nb[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   err_msg=f"d{name}")
+    assert not np.asarray(g_nb[3]).any()
