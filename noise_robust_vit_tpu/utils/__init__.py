@@ -9,7 +9,10 @@ import itertools
 import jax
 import jax.numpy as jnp
 
+from .compile_cache import enable_compilation_cache
+
 __all__ = [
+    "enable_compilation_cache",
     "pair",
     "to_1tuple",
     "to_2tuple",

@@ -38,6 +38,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from noise_robust_vit_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # tunnel compiles are minutes; reruns are disk hits
+
 
 def _train_step_fn(model, tx):
     import jax

@@ -24,6 +24,9 @@ import optax
 
 from noise_robust_vit_tpu import ops
 from noise_robust_vit_tpu.models.factory import create_model
+from noise_robust_vit_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main():

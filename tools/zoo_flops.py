@@ -53,10 +53,12 @@ def main() -> None:
             return out[0] if isinstance(out, tuple) else out
 
         flops = xla_flops(fwd, variables, x)
-        per_img = (flops or 0.0) / bs
+        # None (cost analysis unavailable) must stay visibly null — a silent
+        # 0.0 would propagate a wrong 0% MFU into the zoo table.
+        per_img = None if flops is None else round(flops / bs / 1e9, 2)
         print(json.dumps({
             "arch": arch, "image": image,
-            "gflops_fwd_per_img": round(per_img / 1e9, 2),
+            "gflops_fwd_per_img": per_img,
         }), flush=True)
 
 
