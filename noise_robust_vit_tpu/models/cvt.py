@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import robust_softmax, gelu
+from ..ops import gelu, robust_softmax, streaming_attention, streaming_dispatch
 
 __all__ = ["CvT"]
 
@@ -74,12 +74,24 @@ class _CvtAttention(nn.Module):
             return t.transpose(0, 2, 1, 3)
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
-        dots = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * (self.dim_head**-0.5)
-        attn = robust_softmax(dots, robust=self.robust)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        # Giant-N robust fast path (stage-1 is 3136 queries × 784 keys at
+        # 224px): the streaming q/k/v-interface kernel never materializes
+        # the N×M matrix in HBM or VMEM — the resident logits-interface
+        # kernels architecturally cannot hold stage-1's chain (round-4
+        # "CvT stage-1 analysis"). Attention dropout fires ON the matrix
+        # (ref cvt.py:95-97), so the fused path only applies when dropout
+        # is inactive.
+        if (self.robust and (deterministic or self.dropout == 0.0)
+                and streaming_dispatch(True, b, self.heads, q.shape[2],
+                                       k.shape[2], self.dim_head)):
+            out = streaming_attention(q, k, v, scale=self.dim_head**-0.5)
+        else:
+            dots = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * (self.dim_head**-0.5)
+            attn = robust_softmax(dots, robust=self.robust)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, inner)
         out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)

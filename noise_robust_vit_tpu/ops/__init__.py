@@ -12,6 +12,8 @@ from .attention import (
     packed_attention,
     packed_dispatch,
     set_use_pallas,
+    streaming_attention,
+    streaming_dispatch,
     use_pallas_default,
 )
 from .posemb import (
@@ -37,6 +39,8 @@ __all__ = [
     "packed_attention",
     "packed_dispatch",
     "set_use_pallas",
+    "streaming_attention",
+    "streaming_dispatch",
     "use_pallas_default",
     "posemb_sincos_1d",
     "posemb_sincos_2d",

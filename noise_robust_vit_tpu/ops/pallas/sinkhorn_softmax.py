@@ -430,9 +430,16 @@ def _rect_per_item_bytes(pr: int, pc: int, bufs: int) -> int:
     """Physical scoped-VMEM bytes one batched chain item costs: the lane
     (minor) dim pads to a full 128-lane tile, and Mosaic holds ~2× the
     logical buffer count live across the chain (calibrated on a real-TPU
-    compile of the Twins s2 shape [g=16, 784, 16]: 75.13M scoped = 11.7
+    compile of the Twins s2 BWD shape [g=16, 784, 16]: 75.13M scoped = 11.7
     physical 784×128 f32 buffers against the logical bufs=6 model — the
-    un-padded model under-counted 8× and OOMed the 40M limit)."""
+    un-padded model under-counted 8× and OOMed the 40M limit).
+
+    The 2× live-buffer multiplier was measured on the BWD kernel (bufs=6);
+    the FWD kernel (bufs=4) reuses it as a conservative extrapolation — its
+    true live count was not measured separately. tools/tpu_kernel_check.py
+    covers a wide-nc FWD shape at the shipping schedule so a fwd-specific
+    under-count would surface as a compile-time scoped-VMEM OOM there, not
+    in a model run."""
     pcp = _round_up(pc, 128)
     return 2 * bufs * pr * pcp * 4 + 16 * (pr + pcp) * 4
 

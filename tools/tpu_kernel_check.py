@@ -1,11 +1,12 @@
 """Real-TPU kernel regression gate (round-3 verdict #5).
 
-Runs ALL FIVE shipping Pallas kernels — packed-qkv attention
+Runs ALL SIX shipping Pallas kernels — packed-qkv attention
 (ops/pallas/block_attention.py), biased windowed attention
 (ops/pallas/biased_attention.py), the logits-interface Sinkhorn
-(ops/pallas/sinkhorn_softmax.py), and the fused talking-heads sandwich
-(ops/pallas/talking_heads.py), and the rectangular logits kernel
-(sinkhorn_softmax_rect) — forward AND backward ON THE CHIP against
+(ops/pallas/sinkhorn_softmax.py), the fused talking-heads sandwich
+(ops/pallas/talking_heads.py), the rectangular logits kernel
+(sinkhorn_softmax_rect), and the streaming q/k/v-interface giant-N kernel
+(ops/pallas/streaming_sinkhorn.py) — forward AND backward ON THE CHIP against
 the XLA vector-form reference at the two shipping Sinkhorn schedules:
 (3, True) — the SinkhornAttention op (ref utils.py:1031-1037) — and
 (4, False) — the vendored-MHA path of vit_b_16(robust=True)
@@ -294,8 +295,13 @@ def check_rect(interpret: bool):
         sinkhorn_softmax_rect_supported,
     )
 
-    shapes = [(2, 2, 25, 10), (2, 10, 25)] if interpret else [
-        (2, 3, 784, 196), (4, 196, 784)]
+    # the third shape is the Twins-s2 tall/narrow class [r, 784, 16] whose
+    # 8× lane padding (nc 16 → 128) broke the round-4 un-padded VMEM model:
+    # it gates BOTH directions' group pickers on the chip (the fwd picker
+    # extrapolates the bwd-calibrated 2× live-buffer multiplier — a fwd
+    # under-count would OOM scoped VMEM here at compile time)
+    shapes = [(2, 2, 25, 10), (2, 10, 25), (4, 40, 8)] if interpret else [
+        (2, 3, 784, 196), (4, 196, 784), (128, 784, 16)]
 
     def reference(s, iters, final_row):
         attn = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
@@ -330,6 +336,62 @@ def check_rect(interpret: bool):
         _report(f"rect {shape}", jax.device_get(run(s, tang)))
 
 
+def check_streaming(interpret: bool):
+    """Streaming q/k/v-interface Sinkhorn kernel (giant-N robust path,
+    ops/pallas/streaming_sinkhorn.py) at CvT stage-1 geometry [B,1,3136,784]
+    and the Twins tall/narrow global stage [B,8,784,49]; fwd + dq/dk/dv vs
+    the XLA vector form, both schedules, one compiled program per shape."""
+    from noise_robust_vit_tpu.ops.pallas.streaming_sinkhorn import (
+        streaming_attention,
+        streaming_supported,
+    )
+    from noise_robust_vit_tpu.ops.sinkhorn import sinkhorn_normalize
+
+    # (b, h, n, m, d)
+    shapes = [(1, 1, 70, 30, 16), (1, 2, 30, 70, 8)] if interpret else [
+        (2, 1, 3136, 784, 64), (2, 8, 784, 49, 64)]
+
+    def reference(q, k, v, scale, iters, final_row):
+        s = (q @ jnp.swapaxes(k, -1, -2) * scale).astype(jnp.float32)
+        attn = jax.nn.softmax(s, axis=-1)
+        attn = sinkhorn_normalize(attn, num_iters=iters,
+                                  final_row_norm=final_row)
+        return attn @ v.astype(jnp.float32)
+
+    for shape in shapes:
+        b, h, n, m, d = shape
+        assert streaming_supported(b, h, n, m, d)
+        scale = d**-0.5
+
+        @jax.jit
+        def run(q, k, v, tang):
+            errs = {}
+            for iters, final_row in SCHEDULES:
+                tag = f"sched=({iters},{int(final_row)})"
+
+                def kfn(q, k, v):
+                    return streaming_attention(q, k, v, scale, iters,
+                                               final_row, interpret)
+
+                def rfn(q, k, v):
+                    return reference(q, k, v, scale, iters, final_row)
+
+                ok_, vjp_k = jax.vjp(kfn, q, k, v)
+                or_, vjp_r = jax.vjp(rfn, q, k, v)
+                errs[f"{tag} fwd"] = _err(ok_, or_, FWD_ATOL, FWD_RTOL)
+                gk, gr = vjp_k(tang), vjp_r(tang)
+                for name, a, b_ in zip("qkv", gk, gr):
+                    errs[f"{tag} d{name}"] = _err(a, b_, BWD_ATOL, BWD_RTOL)
+            return errs
+
+        keys = jax.random.split(jax.random.PRNGKey(11), 4)
+        q = jax.random.normal(keys[0], (b, h, n, d), jnp.float32)
+        k = jax.random.normal(keys[1], (b, h, m, d), jnp.float32)
+        v = jax.random.normal(keys[2], (b, h, m, d), jnp.float32)
+        tang = jax.random.normal(keys[3], (b, h, n, d), jnp.float32)
+        _report(f"streaming {shape}", jax.device_get(run(q, k, v, tang)))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--interpret", action="store_true",
@@ -337,7 +399,7 @@ def main():
                     "only — the point of this gate is the real chip)")
     ap.add_argument("--only",
                     choices=("packed", "biased", "sinkhorn", "talking",
-                             "rect"),
+                             "rect", "streaming"),
                     help="run a single kernel's check")
     args = ap.parse_args()
 
@@ -351,7 +413,8 @@ def main():
 
     checks = {"packed": check_packed, "biased": check_biased,
               "sinkhorn": check_sinkhorn_softmax,
-              "talking": check_talking_heads, "rect": check_rect}
+              "talking": check_talking_heads, "rect": check_rect,
+              "streaming": check_streaming}
     if args.only:
         checks = {args.only: checks[args.only]}
     t0 = time.perf_counter()
