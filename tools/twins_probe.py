@@ -32,6 +32,10 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
+from noise_robust_vit_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # each mode re-pays a >900s tunnel compile otherwise
+
 
 def _apply_mode(mode: str):
     import noise_robust_vit_tpu.models.twins_svt as tw

@@ -124,7 +124,14 @@ def run_flops(new_only: bool) -> None:
             continue
         seen.add(arch)
         cmd = [sys.executable, str(HERE / "zoo_flops.py"), arch, str(img)]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=900)
+        except subprocess.TimeoutExpired:
+            err = {"arch": arch, "image": img, "error": "flops timeout>900s"}
+            _append(err)
+            print(json.dumps(err), flush=True)
+            continue
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
