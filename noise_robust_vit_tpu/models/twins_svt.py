@@ -80,7 +80,15 @@ class _LocalAttention(nn.Module):
         # padded in HBM (measured 16.85G > 16G at bs128: stage-1 runs 8192
         # windows); the kernel keeps the matrix in VMEM and stores only the
         # scaling-vector/lse rows (ref twins_svt.py:89-120)
-        if self.robust and ops.biased_dispatch(
+        # NRV_FUSED_PLAIN_LOCAL widens the fused path to PLAIN softmax —
+        # the round-1 "XLA overlaps better for vanilla" lesson was measured
+        # on ViT-B global attention, not an 8192-window graph (VERDICT-r4
+        # #7 stretch); measured A/B, see RESULTS.md round-5 Twins section
+        import os as _os
+
+        fuse_local = self.robust or bool(_os.environ.get(
+            "NRV_FUSED_PLAIN_LOCAL"))
+        if fuse_local and ops.biased_dispatch(
             True, bw, self.heads, n, self.dim_head, self.dim_head, 1
         ):
             def split_heads(t):
@@ -91,8 +99,8 @@ class _LocalAttention(nn.Module):
             out = ops.biased_attention(
                 split_heads(qw), split_heads(kw), split_heads(vw),
                 jnp.zeros((1, self.heads, n, n), jnp.float32),
-                scale=self.dim_head**-0.5, robust=True, num_windows=1,
-                no_bias=True,
+                scale=self.dim_head**-0.5, robust=self.robust,
+                num_windows=1, no_bias=True,
             )
             out = out.transpose(0, 2, 1, 3).reshape(bw, n, inner)
         else:

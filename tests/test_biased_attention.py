@@ -300,3 +300,47 @@ def test_no_bias_static_path_matches_zero_bias(robust):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
                                    err_msg=f"d{name}")
     assert not np.asarray(g_nb[3]).any()
+
+
+def test_twins_local_plain_fused_experiment_matches_xla():
+    """NRV_FUSED_PLAIN_LOCAL routes Twins' PLAIN-softmax local attention
+    through the zero-bias fused kernel (VERDICT-r4 #7 stretch A/B); the
+    branch must be output- and grad-exact vs the XLA composition."""
+    import os
+
+    from noise_robust_vit_tpu import ops
+    from noise_robust_vit_tpu.models.twins_svt import TwinsSVT
+
+    m = TwinsSVT(num_classes=5, robust=False,
+                 s1_emb_dim=16, s1_local_patch_size=2, s1_global_k=2,
+                 s2_emb_dim=24, s2_local_patch_size=2, s2_global_k=2,
+                 s3_emb_dim=32, s3_local_patch_size=2, s3_global_k=1,
+                 s3_depth=1,
+                 s4_emb_dim=48, s4_local_patch_size=1, s4_global_k=1,
+                 s4_depth=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(variables, x):
+        return jnp.sum(m.apply(variables, x) ** 2)
+
+    ref_out = m.apply(v, x)
+    ref_grad = jax.grad(loss)(v, x)
+    try:
+        ops.set_use_pallas(True)
+        os.environ["NRV_FUSED_PLAIN_LOCAL"] = "1"
+        fused_out = m.apply(v, x)
+        fused_grad = jax.grad(loss)(v, x)
+    finally:
+        ops.set_use_pallas(None)
+        os.environ.pop("NRV_FUSED_PLAIN_LOCAL", None)
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(ref_out), atol=1e-5, rtol=1e-4
+    )
+    flat_f = jax.tree_util.tree_leaves_with_path(fused_grad)
+    flat_r = jax.tree_util.tree_leaves(ref_grad)
+    for (path, a), b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
