@@ -64,12 +64,21 @@ def _compiler_params():
 
 
 def _tile(n: int) -> tuple[int, int]:
-    """(tq, n_pad): 256-row sweep tiles, or a single whole-N tile when N is
-    small (keeps every dynamic slice offset 8-aligned and, for the rank-1
-    stack's lane reads, 128-aligned at the large sizes that matter)."""
+    """(tq, n_pad): sweep-tile rows and padded N.
+
+    Prefer a tq that DIVIDES round_up(n, 8) (largest multiple of 8 in
+    [128, 512]) so n_pad == np8 and the host-side q/g buffers need no
+    padded copy at all — at the shapes this kernel serves the copies are
+    the HBM hogs, not the math (Twins s1: [1024, 3200, 64] bf16 = 840 MB
+    physical per copy; n = 3136 = 7²·2⁶ has tq = 448 exactly). Fall back
+    to 256-row tiles with padding when no divisor exists."""
     np8 = _round_up(n, 8)
-    tq = 256 if np8 > 256 else np8
-    return tq, _round_up(n, tq)
+    if np8 <= 512:
+        return np8, np8
+    for tq in range(512, 127, -8):
+        if np8 % tq == 0:
+            return tq, np8
+    return 256, _round_up(n, 256)
 
 
 def _n_avecs(iters: int, final_row: bool) -> int:
@@ -97,10 +106,16 @@ def _en_tile(q_ref, k32, lse_col, off, tq, scale, colmask):
 
 def _stream_fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, n, m, n_pad, m_pad,
                        tq, iters, final_row, want_vecs):
+    # avs scratch holds lse + the a-vectors COLUMN-major in VMEM (free);
+    # the HBM residuals are ROW-major — [1, a_cols, Np] / [1, iters, Mp] —
+    # so the lane dim is N/M, not the tiny vector count (a [r, Np, 4] f32
+    # residual lane-pads 4 → 128: 32× HBM, the round-1 column-layout OOM
+    # lesson re-learned on this kernel at Twins s1). One batched
+    # transpose per program moves scratch → residual.
     if want_vecs:
-        o_ref, av_ref, bv_ref, bcur = rest
+        o_ref, av_ref, bv_ref, bcur, avs = rest
     else:
-        o_ref, bcur = rest[0], rest[1]
+        o_ref, bcur, avs = rest
         av_ref = bv_ref = None
     nt = n_pad // tq
     k32 = k_ref[0].astype(jnp.float32)
@@ -109,9 +124,7 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, n, m, n_pad, m_pad,
     # ---- sweep 0: softmax lse per row (complete in-tile) + the first
     # column sum (the a-update is skipped: rowsum(softmax) ≡ 1)
     bcur[...] = jnp.zeros((1, m_pad), jnp.float32)
-    lse_store = av_ref if want_vecs else None
-
-    def body0(ti, lse_list):
+    for ti in range(nt):
         off = ti * tq
         qt = q_ref[0, pl.ds(off, tq), :].astype(jnp.float32)
         s = jax.lax.dot_general(
@@ -127,33 +140,20 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, n, m, n_pad, m_pad,
         # padded rows: lse = +BIG makes every later recompute of this row
         # exactly zero, so column sums stay clean with no per-sweep masking
         lse = jnp.where(rmask, lse, _BIG)
-        lse_list.append((off, lse))
+        avs[pl.ds(off, tq), 0:1] = lse
         en = jnp.where(rmask, e / sm, 0.0)
         bcur[...] = bcur[...] + jnp.sum(en, axis=0, keepdims=True)
-        return lse_list
-
-    # static unroll: nt is small (≤ 13 at CvT stage-1) and the loop body
-    # must write lse rows to a residual ref only present when want_vecs
-    lses = []
-    for ti in range(nt):
-        lses = body0(ti, lses)
-        if want_vecs:
-            off, lse = lses[-1]
-            av_ref[0, pl.ds(off, tq), 0:1] = lse
 
     def lse_col(ti):
-        if want_vecs:
-            return av_ref[0, pl.ds(ti * tq, tq), 0:1]
-        return lses[ti][1]
+        return avs[pl.ds(ti * tq, tq), 0:1]
 
     b = _recip(bcur[...])  # [1, Mp]
     if want_vecs:
-        bv_ref[0, :, 0:1] = b.reshape(m_pad, 1)
+        bv_ref[0, 0:1, :] = b
 
     # ---- middle sweeps: one per remaining Sinkhorn iteration — the row
     # update a_i is complete in-tile and feeds the next column accumulation
-    a_slot = 1  # av column 0 is the lse
-    b_prev = b  # the b the LAST a-update consumed (for the no-vecs replay)
+    a_slot = 1  # avs column 0 is the lse
     for i in range(1, iters):
         bcur[...] = jnp.zeros((1, m_pad), jnp.float32)
         for ti in range(nt):
@@ -162,19 +162,17 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, n, m, n_pad, m_pad,
                              colmask)
             u = jnp.sum(en * b, axis=-1, keepdims=True)
             a = _recip(u)
-            if want_vecs:
-                av_ref[0, pl.ds(off, tq), a_slot:a_slot + 1] = a
+            avs[pl.ds(off, tq), a_slot:a_slot + 1] = a
             bcur[...] = bcur[...] + jnp.sum(en * a, axis=0, keepdims=True)
         a_slot += 1
-        b_prev = b
         b = _recip(bcur[...])
         if want_vecs:
-            bv_ref[0, :, i:i + 1] = b.reshape(m_pad, 1)
+            bv_ref[0, i:i + 1, :] = b
 
     # ---- output sweep: the final row update (if any) is in-tile; rows of
     # the output are complete per tile. Without a final row norm the output
-    # scaling is the LAST a — read back (want_vecs) or recomputed in-tile
-    # from the b it consumed (no-vecs: one extra rowsum, no extra sweep).
+    # scaling is the LAST a — read back from scratch or recomputed in-tile
+    # from the b it consumed (iters == 1, no-vecs path has no stored a).
     v32 = v_ref[0].astype(jnp.float32) * b.reshape(m_pad, 1)
     for ti in range(nt):
         off = ti * tq
@@ -182,24 +180,24 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, n, m, n_pad, m_pad,
         if final_row:
             u = jnp.sum(en * b, axis=-1, keepdims=True)
             a = _recip(u)
-            if want_vecs:
-                av_ref[0, pl.ds(off, tq), a_slot:a_slot + 1] = a
+            avs[pl.ds(off, tq), a_slot:a_slot + 1] = a
         elif iters == 1:
             a = 1.0
-        elif want_vecs:
-            a = av_ref[0, pl.ds(off, tq), a_slot - 1:a_slot]
         else:
-            a = _recip(jnp.sum(en * b_prev, axis=-1, keepdims=True))
+            a = avs[pl.ds(off, tq), a_slot - 1:a_slot]
         out = a * jax.lax.dot_general(
             en, v32, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, pl.ds(off, tq), :] = out.astype(o_ref.dtype)
+    if want_vecs:
+        # ONE batched lane↔sublane transpose of the whole stack
+        av_ref[0] = jnp.swapaxes(avs[...], 0, 1)
 
 
-def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
+def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, av_ref, bv_ref,
                        dq_ref, dk_ref, dv_ref,
-                       bcur, dcol, pt_ref, qs_ref, tacc, dkacc,
+                       bcur, dcol, pt_ref, qs_ref, tacc, dkacc, avs, goacc,
                        *, scale, n, m, n_pad, m_pad, tq, iters, final_row):
     nt = n_pad // tq
     k32 = k_ref[0].astype(jnp.float32)
@@ -207,53 +205,67 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
     colmask = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1) < m
     n_av = _n_avecs(iters, final_row)
 
-    def a_col(idx):  # 0-based a index → av column (col 0 is lse)
-        return av_ref[0, :, idx + 1:idx + 2]  # [Np, 1]
+    # residuals arrive ROW-major ([a_cols, Np] / [iters, Mp] — see the fwd
+    # kernel's layout note); ONE batched transpose restores the column
+    # working form in VMEM scratch
+    avs[...] = jnp.swapaxes(av_ref[0], 0, 1)
 
-    def b_col(idx):
-        return bv_ref[0, :, idx:idx + 1]  # [Mp, 1]
+    def a_col(idx):  # 0-based a index → avs column (col 0 is lse)
+        return avs[:, idx + 1:idx + 2]  # [Np, 1]
+
+    def b_row(idx):
+        return bv_ref[0, idx:idx + 1, :]  # [1, Mp]
 
     def lse_col(ti):
-        return av_ref[0, pl.ds(ti * tq, tq), 0:1]
+        return avs[pl.ds(ti * tq, tq), 0:1]
 
-    # rowsum(g ⊙ O) — the output's contribution to the softmax row term,
-    # and (divided by a_F) the gradient of the final row scaling
     g32 = g_ref[0].astype(jnp.float32)
-    go = jnp.sum(g32 * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True)
     aF = a_col(n_av - 1) if n_av else jnp.ones((n_pad, 1), jnp.float32)
-    bF = b_col(iters - 1)
-    daF = go / aF  # aF is a clamped reciprocal: strictly positive
+    bF_row = b_row(iters - 1)
+    bF = bF_row.reshape(m_pad, 1)
     kp = pt_ref.shape[-1]
     pt_ref[...] = jnp.zeros((n_pad, kp), jnp.float32)
     qs_ref[...] = jnp.zeros((kp, m_pad), jnp.float32)
 
     slot = 0
-    have_duF = False
     if final_row:
-        duF = -daF * aF * aF  # d(1/u) = -a²; zero at padded rows (daF = 0)
-        pt_ref[:, slot:slot + 1] = duF
-        qs_ref[slot:slot + 1, :] = bF.reshape(1, m_pad)
-        slot += 1
-        have_duF = True
+        qs_ref[slot:slot + 1, :] = bF_row
+    bFv = v32 * bF  # [Mp, D]
 
-    # ---- sweep B1: T = enᵀ(a_F ⊙ g) gives dv and the direct db_F; the
-    # final-row du_F propagation rides the same sweep
+    # ---- sweep B1: T = enᵀ(a_F ⊙ g) gives dv and the direct db_F. The
+    # forward output row block o_t = a_F ⊙ (en · (b_F ⊙ v)) is RECOMPUTED
+    # here (one extra MXU matmul per tile) so the backward needs no padded
+    # copy of o at all; go = rowsum(g ⊙ o) — the softmax row term and
+    # (via daF = go/aF) the final-scaling gradient — lands in goacc. The
+    # final-row du_F propagation rides the same sweep.
     tacc[...] = jnp.zeros((m_pad, tacc.shape[-1]), jnp.float32)
     dcol[...] = jnp.zeros((1, m_pad), jnp.float32)
     for ti in range(nt):
         off = ti * tq
         en, _ = _en_tile(q_ref, k32, lse_col(ti), off, tq, scale, colmask)
-        ag_t = aF[off:off + tq, :] * g32[off:off + tq, :]
+        aF_t = aF[off:off + tq, :]
+        g_t = g32[off:off + tq, :]
+        ag_t = aF_t * g_t
         tacc[...] = tacc[...] + jax.lax.dot_general(
             en, ag_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if have_duF:
-            duF_t = pt_ref[pl.ds(off, tq), 0:1]
+        ev_t = jax.lax.dot_general(
+            en, bFv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # = o_t / a_F
+        go_t = jnp.sum(ag_t * ev_t, axis=-1, keepdims=True)
+        goacc[pl.ds(off, tq), :] = go_t
+        if final_row:
+            # duF = −daF·aF² with daF = go/aF → −go·aF
+            duF_t = -go_t * aF_t
+            pt_ref[pl.ds(off, tq), 0:1] = duF_t
             dcol[...] = dcol[...] + jax.lax.dot_general(
                 duF_t, en, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    if final_row:
+        slot += 1
     dv_full = bF * tacc[:, :]
     dv_ref[0, :, :] = dv_full.astype(dv_ref.dtype)
     db = (jnp.sum(v32 * tacc[...], axis=-1, keepdims=True).reshape(1, m_pad)
@@ -263,13 +275,13 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
     # row matvec (da for the a that fed b_i) and the next column
     # accumulation (db for b_{i-1}); b_0's pair closes the chain
     for i in range(iters - 1, 0, -1):
-        bi = b_col(i).reshape(1, m_pad)
+        bi = b_row(i)
         dw = -db * bi * bi  # [1, Mp]
         # pair (a_prev, dw): a_prev is the a used in b_i's update (a-index i-1)
         pt_ref[:, slot:slot + 1] = a_col(i - 1)
         qs_ref[slot:slot + 1, :] = dw
         dw_col = dw.reshape(m_pad, 1)
-        seed = daF if (not final_row and i == iters - 1) else None
+        chain_head = not final_row and i == iters - 1
         bcur[...] = jnp.zeros((1, m_pad), jnp.float32)
         for ti in range(nt):
             off = ti * tq
@@ -279,9 +291,11 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
                 en, dw_col, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if seed is not None:
-                da_t = da_t + seed[off:off + tq, :]
             a_t = a_col(i - 1)[off:off + tq, :]
+            if chain_head:
+                # the output's da seed: daF = go / aF (aF = a_{iters-1},
+                # clamped-reciprocal → strictly positive)
+                da_t = da_t + goacc[pl.ds(off, tq), :] / aF[off:off + tq, :]
             du_t = -da_t * a_t * a_t
             pt_ref[pl.ds(off, tq), slot + 1:slot + 2] = du_t
             bcur[...] = bcur[...] + jax.lax.dot_general(
@@ -289,11 +303,11 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
                 preferred_element_type=jnp.float32,
             )
         # pair (du, b_{i-1}) for the row update a_{i-1}
-        qs_ref[slot + 1:slot + 2, :] = b_col(i - 1).reshape(1, m_pad)
+        qs_ref[slot + 1:slot + 2, :] = b_row(i - 1)
         slot += 2
         db = bcur[...]
     # b_0 = recip(colsum(en)) — its a side is the constant ones
-    b0 = b_col(0).reshape(1, m_pad)
+    b0 = b_row(0)
     dw0 = -db * b0 * b0
     pt_ref[:, slot:slot + 1] = jnp.ones((n_pad, 1), jnp.float32)
     qs_ref[slot:slot + 1, :] = dw0
@@ -301,7 +315,6 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
 
     # ---- final sweep: dA = rank-1 stack + rank-D direct term; the softmax
     # vjp row term ρ = Σ_t p_t·(en·q_t) + rowsum(g⊙O) is complete in-tile
-    bv_v = bF * v32  # [Mp, D]
     dkacc[...] = jnp.zeros((m_pad, dkacc.shape[-1]), jnp.float32)
     for ti in range(nt):
         off = ti * tq
@@ -312,7 +325,7 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
             preferred_element_type=jnp.float32,
         )  # [tq, 8]
         rho = (jnp.sum(pt_t * eq, axis=-1, keepdims=True)
-               + go[off:off + tq, :])
+               + goacc[pl.ds(off, tq), :])
         af_t = (a_col(n_av - 1)[off:off + tq, :] if n_av
                 else jnp.ones((tq, 1), jnp.float32))
         ag_t = af_t * g32[off:off + tq, :]
@@ -320,7 +333,7 @@ def _stream_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, av_ref, bv_ref,
             pt_t, qs_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            ag_t, bv_v, (((1,), (1,)), ((), ())),
+            ag_t, bFv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = en * (de - rho)
@@ -369,15 +382,17 @@ def _stream_fwd_impl(q, k, v, scale, iters, final_row, interpret,
     out_specs = [spec_q]
     out_shape = [jax.ShapeDtypeStruct((r, n_pad, d), v.dtype)]
     if want_vecs:
+        # residuals are ROW-major stacks — lane dim = N/M (a [r, Np, 4]
+        # column layout lane-pads 4 → 128: 32× HBM, OOMed Twins s1)
         out_specs += [
-            pl.BlockSpec((1, n_pad, a_cols), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, a_cols, n_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, iters), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, iters, m_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((r, n_pad, a_cols), jnp.float32),
-            jax.ShapeDtypeStruct((r, m_pad, iters), jnp.float32),
+            jax.ShapeDtypeStruct((r, a_cols, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((r, iters, m_pad), jnp.float32),
         ]
     res = pl.pallas_call(
         kernel,
@@ -385,7 +400,10 @@ def _stream_fwd_impl(q, k, v, scale, iters, final_row, interpret,
         in_specs=[spec_q, spec_k, spec_k],
         out_specs=tuple(out_specs) if want_vecs else out_specs[0],
         out_shape=tuple(out_shape) if want_vecs else out_shape[0],
-        scratch_shapes=[pltpu.VMEM((1, m_pad), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),        # bcur
+            pltpu.VMEM((n_pad, a_cols), jnp.float32),   # avs (column form)
+        ],
         cost_estimate=pl.CostEstimate(
             flops=r * (iters + 2) * 2 * n_pad * m_pad * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
@@ -403,7 +421,7 @@ def _stream_fwd_impl(q, k, v, scale, iters, final_row, interpret,
 @functools.partial(
     jax.jit, static_argnames=("scale", "iters", "final_row", "interpret")
 )
-def _stream_bwd_impl(q, k, v, g, o, av, bv, scale, iters, final_row,
+def _stream_bwd_impl(q, k, v, g, av, bv, scale, iters, final_row,
                      interpret):
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -414,7 +432,6 @@ def _stream_bwd_impl(q, k, v, g, o, av, bv, scale, iters, final_row,
     kr = _pad_rows(k.reshape(r, m, d), m_pad)
     vr = _pad_rows(v.reshape(r, m, d), m_pad)
     gr = _pad_rows(g.reshape(r, n, d), n_pad)
-    orr = _pad_rows(o.reshape(r, n, d), n_pad)
     n_av = _n_avecs(iters, final_row)
     a_cols = 1 + n_av
     kernel = functools.partial(
@@ -425,14 +442,14 @@ def _stream_bwd_impl(q, k, v, g, o, av, bv, scale, iters, final_row,
                           memory_space=pltpu.VMEM)
     spec_k = pl.BlockSpec((1, m_pad, d), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_av = pl.BlockSpec((1, n_pad, a_cols), lambda i: (i, 0, 0),
+    spec_av = pl.BlockSpec((1, a_cols, n_pad), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_bv = pl.BlockSpec((1, m_pad, iters), lambda i: (i, 0, 0),
+    spec_bv = pl.BlockSpec((1, iters, m_pad), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(r,),
-        in_specs=[spec_q, spec_k, spec_k, spec_q, spec_q, spec_av, spec_bv],
+        in_specs=[spec_q, spec_k, spec_k, spec_q, spec_av, spec_bv],
         out_specs=(spec_q, spec_k, spec_k),
         out_shape=(
             jax.ShapeDtypeStruct((r, n_pad, d), q.dtype),
@@ -440,12 +457,14 @@ def _stream_bwd_impl(q, k, v, g, o, av, bv, scale, iters, final_row,
             jax.ShapeDtypeStruct((r, m_pad, d), v.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, m_pad), jnp.float32),   # bcur
-            pltpu.VMEM((1, m_pad), jnp.float32),   # dcol
-            pltpu.VMEM((n_pad, 8), jnp.float32),   # rank-1 row factors
-            pltpu.VMEM((8, m_pad), jnp.float32),   # rank-1 col factors
-            pltpu.VMEM((m_pad, d), jnp.float32),   # tacc
-            pltpu.VMEM((m_pad, d), jnp.float32),   # dkacc
+            pltpu.VMEM((1, m_pad), jnp.float32),        # bcur
+            pltpu.VMEM((1, m_pad), jnp.float32),        # dcol
+            pltpu.VMEM((n_pad, 8), jnp.float32),        # rank-1 row factors
+            pltpu.VMEM((8, m_pad), jnp.float32),        # rank-1 col factors
+            pltpu.VMEM((m_pad, d), jnp.float32),        # tacc
+            pltpu.VMEM((m_pad, d), jnp.float32),        # dkacc
+            pltpu.VMEM((n_pad, a_cols), jnp.float32),   # avs (column form)
+            pltpu.VMEM((n_pad, 1), jnp.float32),        # goacc
         ],
         cost_estimate=pl.CostEstimate(
             flops=r * (iters + 3) * 4 * n_pad * m_pad * d,
@@ -454,7 +473,7 @@ def _stream_bwd_impl(q, k, v, g, o, av, bv, scale, iters, final_row,
         ),
         interpret=interpret,
         compiler_params=_compiler_params(),
-    )(qr, kr, vr, gr, orr, av, bv)
+    )(qr, kr, vr, gr, av, bv)
     return (
         dq[:, :n].reshape(b, h, n, d),
         dk[:, :m].reshape(b, h, m, d),
@@ -480,12 +499,14 @@ def streaming_attention(q, k, v, scale, sinkhorn_iters=3,
 def _streaming_fwd(q, k, v, scale, sinkhorn_iters, final_row_norm, interpret):
     o, av, bv = _stream_fwd_impl(q, k, v, scale, sinkhorn_iters,
                                  final_row_norm, interpret, want_vecs=True)
-    return o, (q, k, v, o, av, bv)
+    # o is NOT a residual: the backward recomputes go = rowsum(g ⊙ o) on
+    # the MXU in its first sweep, saving an [r, Np, D] pinned+padded copy
+    return o, (q, k, v, av, bv)
 
 
 def _streaming_bwd(scale, sinkhorn_iters, final_row_norm, interpret, res, g):
-    q, k, v, o, av, bv = res
-    return _stream_bwd_impl(q, k, v, g, o, av, bv, scale, sinkhorn_iters,
+    q, k, v, av, bv = res
+    return _stream_bwd_impl(q, k, v, g, av, bv, scale, sinkhorn_iters,
                             final_row_norm, interpret)
 
 
