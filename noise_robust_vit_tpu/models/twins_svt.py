@@ -80,14 +80,16 @@ class _LocalAttention(nn.Module):
         # padded in HBM (measured 16.85G > 16G at bs128: stage-1 runs 8192
         # windows); the kernel keeps the matrix in VMEM and stores only the
         # scaling-vector/lse rows (ref twins_svt.py:89-120)
-        # NRV_FUSED_PLAIN_LOCAL widens the fused path to PLAIN softmax —
-        # the round-1 "XLA overlaps better for vanilla" lesson was measured
-        # on ViT-B global attention, not an 8192-window graph (VERDICT-r4
-        # #7 stretch); measured A/B, see RESULTS.md round-5 Twins section
+        # The PLAIN-softmax local attention ALSO takes the fused kernel by
+        # default: the round-1 "XLA overlaps better for vanilla" lesson was
+        # measured on ViT-B global attention, not an 8192-window graph.
+        # Measured on-chip (round 5): vanilla 278.4 → 344.4 img/s (+24%),
+        # no-bias plain fwd+bwd verified on the chip (tpu_kernel_check
+        # --only nobias). NRV_NO_FUSED_PLAIN_LOCAL opts back to XLA.
         import os as _os
 
-        fuse_local = self.robust or bool(_os.environ.get(
-            "NRV_FUSED_PLAIN_LOCAL"))
+        fuse_local = self.robust or not _os.environ.get(
+            "NRV_NO_FUSED_PLAIN_LOCAL")
         if fuse_local and ops.biased_dispatch(
             True, bw, self.heads, n, self.dim_head, self.dim_head, 1
         ):

@@ -108,15 +108,21 @@ def audit(arch: str, batch: int, image: int) -> dict:
 def main():
     ops.set_use_pallas(True)  # emulate the TPU dispatch decisions on CPU
     install()
-    only = set(sys.argv[1:])
+    only = set(a for a in sys.argv[1:] if a != "--save")
+    save = "--save" in sys.argv[1:]
+    out = Path(__file__).resolve().parent / "dispatch_audit.jsonl"
+    recs = []
     for arch, bs, img in ZOO:
         if only and arch not in only:
             continue
         try:
-            print(json.dumps(audit(arch, bs, img)), flush=True)
+            rec = audit(arch, bs, img)
         except Exception as e:  # noqa: BLE001 — audit must cover the zoo
-            print(json.dumps({"arch": arch, "error": repr(e)[:200]}),
-                  flush=True)
+            rec = {"arch": arch, "error": repr(e)[:200]}
+        recs.append(rec)
+        print(json.dumps(rec), flush=True)
+    if save:
+        out.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
 
 
 if __name__ == "__main__":

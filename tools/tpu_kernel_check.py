@@ -189,6 +189,62 @@ def check_biased(interpret: bool):
             jax.device_get(run(q, k, v, bias, tang)))
 
 
+def check_nobias(interpret: bool):
+    """The static no-bias fast path (Twins local attention,
+    models/twins_svt.py:90-105 — ref twins_svt.py:89-120): the kernel elides
+    the bias operand/add and the dbias accumulation entirely. Covers BOTH
+    the robust schedules AND the plain-softmax mode (``robust=False``) that
+    NRV_FUSED_PLAIN_LOCAL routes Twins *vanilla* through — the one biased-
+    kernel configuration the main check never exercises on real TPU."""
+    from noise_robust_vit_tpu.ops import dot_product_attention
+    from noise_robust_vit_tpu.ops.pallas.biased_attention import (
+        biased_attention,
+        biased_attention_supported,
+    )
+
+    bw, h, n, d, dv = (8, 2, 17, 16, 16) if interpret else (32, 3, 49, 64, 64)
+    assert biased_attention_supported(bw, h, n, d, dv, 1)
+
+    def reference(q, k, v, robust, iters, final_row):
+        return dot_product_attention(
+            q, k, v, scale=d**-0.5, robust=robust, sinkhorn_iters=iters,
+            final_row_norm=final_row, use_pallas=False,
+        )
+
+    zero_bias = jnp.zeros((1, h, n, n), jnp.float32)
+    cases = [("plain", False, 3, True)] + [
+        (f"sched=({i},{int(f)})", True, i, f) for i, f in SCHEDULES
+    ]
+
+    @jax.jit
+    def run(q, k, v, tang):
+        errs = {}
+        for tag, robust, iters, final_row in cases:
+
+            def kfn(q, k, v):
+                return biased_attention(q, k, v, zero_bias, d**-0.5, robust,
+                                        iters, final_row, 1, interpret,
+                                        no_bias=True)
+
+            def rfn(q, k, v):
+                return reference(q, k, v, robust, iters, final_row)
+
+            ok_, vjp_k = jax.vjp(kfn, q, k, v)
+            or_, vjp_r = jax.vjp(rfn, q, k, v)
+            errs[f"{tag} fwd"] = _err(ok_, or_, FWD_ATOL, FWD_RTOL)
+            for name, a, b in zip(("dq", "dk", "dv"), vjp_k(tang),
+                                  vjp_r(tang)):
+                errs[f"{tag} bwd {name}"] = _err(a, b, BWD_ATOL, BWD_RTOL)
+        return errs
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(keys[0], (bw, h, n, d), jnp.float32)
+    k = jax.random.normal(keys[1], (bw, h, n, d), jnp.float32)
+    v = jax.random.normal(keys[2], (bw, h, n, dv), jnp.float32)
+    tang = jax.random.normal(keys[3], (bw, h, n, dv), jnp.float32)
+    _report(f"nobias N={n} DV={dv}", jax.device_get(run(q, k, v, tang)))
+
+
 def check_sinkhorn_softmax(interpret: bool):
     """Logits-interface kernel at the matrix-transforming models' shipping
     geometry (CaiT/DeepViT-class [B, H, 197, 197] logits); both schedules,
@@ -398,8 +454,8 @@ def main():
                     help="CPU interpret-mode dry run (script validation "
                     "only — the point of this gate is the real chip)")
     ap.add_argument("--only",
-                    choices=("packed", "biased", "sinkhorn", "talking",
-                             "rect", "streaming"),
+                    choices=("packed", "biased", "nobias", "sinkhorn",
+                             "talking", "rect", "streaming"),
                     help="run a single kernel's check")
     args = ap.parse_args()
 
@@ -412,6 +468,7 @@ def main():
     print(f"backend={backend} interpret={args.interpret}", flush=True)
 
     checks = {"packed": check_packed, "biased": check_biased,
+              "nobias": check_nobias,
               "sinkhorn": check_sinkhorn_softmax,
               "talking": check_talking_heads, "rect": check_rect,
               "streaming": check_streaming}

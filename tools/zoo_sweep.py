@@ -156,9 +156,20 @@ def print_table() -> None:
                 flops[r["arch"]] = r["gflops_fwd_per_img"]
         elif "img_per_sec" in r:
             perf[(r["arch"], r["mode"])] = r
+    paths: dict[str, str] = {}
+    audit = HERE / "dispatch_audit.jsonl"
+    if audit.exists():
+        for line in audit.read_text().splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "robust_paths" in a:
+                tags = sorted(a["robust_paths"])
+                paths[a["arch"]] = "+".join(tags) if tags else "(none)"
     peak = 197e12
-    print("| model | bs | img | vanilla img/s | robust img/s | rob/van | vanilla MFU |")
-    print("|---|---|---|---|---|---|---|")
+    print("| model | bs | img | vanilla img/s | robust img/s | rob/van"
+          " | vanilla MFU | robust path |")
+    print("|---|---|---|---|---|---|---|---|")
     for arch, bs, img, _ in NEW_ARCHS + ROUND4_ARCHS:
         v = perf.get((arch, "vanilla"))
         r = perf.get((arch, "robust"))
@@ -168,7 +179,8 @@ def print_table() -> None:
         mfu = "—"
         if v and arch in flops:
             mfu = f"{3 * flops[arch] * 1e9 * v['img_per_sec'] / peak * 100:.1f}%"
-        print(f"| {arch} | {bs} | {img} | {vs} | {rs} | {ratio} | {mfu} |")
+        print(f"| {arch} | {bs} | {img} | {vs} | {rs} | {ratio} | {mfu}"
+              f" | {paths.get(arch, '—')} |")
 
 
 def main() -> None:
