@@ -197,6 +197,18 @@ def attention_weights(
         logits = logits + bias.astype(logits.dtype)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    if robust and mask is None:
+        # identical semantics to softmax + sinkhorn_normalize below, but
+        # dispatched through ops/sinkhorn.py::sinkhorn_attention so the
+        # fused logits/rect kernels serve the matrix-materializing callers
+        # too (attention-weight dropout in train mode, CCT, CrossViT —
+        # round-5 dispatch-audit fix; the masked path keeps the explicit
+        # pre-fill + post-zero composition below)
+        from .sinkhorn import sinkhorn_attention as _sk_attn
+
+        return _sk_attn(
+            logits, num_iters=sinkhorn_iters, final_row_norm=final_row_norm
+        )
     attn = jax.nn.softmax(logits, axis=-1)
     if robust:
         if mask is not None:

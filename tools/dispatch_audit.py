@@ -38,7 +38,7 @@ ZOO = [
     ("pit_small", 128, 224), ("cross_vit_small", 128, 240),
     ("crossformer_small", 128, 224), ("scalable_vit_small", 128, 256),
     ("sep_vit_small", 128, 224), ("regionvit_small", 128, 224),
-    ("mobile_vit_xs", 128, 256), ("cct_7", 128, 224), ("t2t_vit", 128, 224),
+    ("mobile_vit_xs", 128, 256), ("cct_7", 256, 32), ("t2t_vit", 128, 224),
     ("ats_vit", 128, 224), ("local_vit", 128, 224),
     ("small_dataset_vit", 256, 64), ("simple_vit_b16", 256, 224),
     ("vit_b_16", 256, 224), ("swin_t", 128, 224), ("LeViT_128S", 256, 224),
@@ -61,8 +61,10 @@ def _wrap(mod, name, tag, shape_arg=0):
 
 
 def install():
+    import noise_robust_vit_tpu.ops.attention as m_att
     import noise_robust_vit_tpu.ops.pallas.block_attention as m_blk
     import noise_robust_vit_tpu.ops.pallas.biased_attention as m_bia
+    import noise_robust_vit_tpu.ops.pallas.sinkhorn_attention as m_sa
     import noise_robust_vit_tpu.ops.pallas.streaming_sinkhorn as m_str
     import noise_robust_vit_tpu.ops.pallas.sinkhorn_softmax as m_sm
     import noise_robust_vit_tpu.ops.pallas.talking_heads as m_th
@@ -70,12 +72,18 @@ def install():
 
     _wrap(m_blk, "packed_attention", "packed")
     _wrap(m_bia, "biased_attention", "biased")
+    _wrap(m_sa, "fused_attention", "qkv-kernel")
     _wrap(m_str, "streaming_attention", "streaming")
     _wrap(m_sm, "sinkhorn_softmax", "logits-kernel")
     _wrap(m_sm, "sinkhorn_softmax_rect", "rect-kernel")
     _wrap(m_th, "talking_heads_sinkhorn", "talking-heads")
-    # the XLA vector form — reached only when every kernel above refused
+    # the XLA vector form — reached only when every kernel above refused.
+    # ops/attention.py holds a BY-VALUE copy (`from .sinkhorn import
+    # sinkhorn_normalize`), so wrap it there too or the whole XLA
+    # attention_weights path records nothing (the round-5 audit's original
+    # blind spot: cross_vit/mobile_vit/cct showed empty robust_paths).
     _wrap(m_sk, "sinkhorn_normalize", "XLA-FALLBACK")
+    _wrap(m_att, "sinkhorn_normalize", "XLA-FALLBACK")
 
 
 def audit(arch: str, batch: int, image: int) -> dict:
@@ -89,7 +97,7 @@ def audit(arch: str, batch: int, image: int) -> dict:
 
     def fwd(v, x):
         out = model.apply(v, x, deterministic=False,
-                          rngs={"dropout": rng},
+                          rngs={"dropout": rng, "ats": rng},
                           **({"mutable": ["batch_stats"]}
                              if "batch_stats" in variables else {}))
         return out

@@ -44,7 +44,11 @@ NEW_ARCHS = [
     ("sep_vit_small", 128, 224, 2400),
     ("regionvit_small", 128, 224, 2400),
     ("mobile_vit_xs", 128, 256, 1800),
-    ("cct_7", 128, 224, 1200),
+    # cct_7's tokenizer (3x1 conv, as upstream) keeps N = (img/2)^2: at 224
+    # that is 12544 tokens -> a [B,H,12544,12544] attention matrix, infeasible
+    # on 16 GB HBM in either mode (the torch reference OOMs identically).
+    # Bench at the architecture's CIFAR design point instead.
+    ("cct_7", 256, 32, 1200),
     ("t2t_vit", 128, 224, 1800),
     ("ats_vit", 128, 224, 1800),
     ("local_vit", 128, 224, 1800),
