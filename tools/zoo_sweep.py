@@ -40,19 +40,22 @@ NEW_ARCHS = [
     # window 64 needs a 64-wide stage-1 map (256 input) — both as upstream
     ("cross_vit_small", 128, 240, 1800),
     ("crossformer_small", 128, 224, 2400),
-    ("scalable_vit_small", 128, 256, 2400),
-    ("sep_vit_small", 128, 224, 2400),
-    ("regionvit_small", 128, 224, 2400),
-    ("mobile_vit_xs", 128, 256, 1800),
+    # cheap cells first (tiny images / plain ViT graphs compile fast), the
+    # window-heavy hierarchical archs last — a resumable sweep interrupted
+    # mid-queue then still maximizes table coverage.
     # cct_7's tokenizer (3x1 conv, as upstream) keeps N = (img/2)^2: at 224
     # that is 12544 tokens -> a [B,H,12544,12544] attention matrix, infeasible
     # on 16 GB HBM in either mode (the torch reference OOMs identically).
     # Bench at the architecture's CIFAR design point instead.
     ("cct_7", 256, 32, 1200),
+    ("small_dataset_vit", 256, 64, 1200),
+    ("local_vit", 128, 224, 1800),
     ("t2t_vit", 128, 224, 1800),
     ("ats_vit", 128, 224, 1800),
-    ("local_vit", 128, 224, 1800),
-    ("small_dataset_vit", 256, 64, 1200),
+    ("mobile_vit_xs", 128, 256, 1800),
+    ("scalable_vit_small", 128, 256, 2400),
+    ("sep_vit_small", 128, 224, 2400),
+    ("regionvit_small", 128, 224, 2400),
 ]
 ROUND4_ARCHS = [
     ("simple_vit_b16", 256, 224, 1200),
